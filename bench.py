@@ -1,0 +1,92 @@
+"""Headline benchmark: long-context decode tokens/s, duo vs full attention.
+
+Mirrors the reference's efficiency protocol (eval/efficiency/
+benchmark_static.py: decode latency averaged over N steps after warmup,
+KV-cache bytes reported), on TPU. The baseline is the same engine with
+sparsity=0 (all heads retrieval) — exactly the reference's baseline switch
+(scripts/run_efficiency.sh sparsity 0 vs 0.5/0.75).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Model sizing is auto-scaled to single-chip HBM (v5e = 16 GB): Llama-3-8B
+architecture (4096 hidden, 32 q / 8 kv heads, GQA) at reduced depth so that
+weights + a long-context full-attention KV cache fit. Later rounds move to
+the full 8B with W8A8 weights at 1M ctx per BASELINE.json.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(num_layers, ctx_len, sparsity, chunk=8192):
+    from duo_attention_tpu.config import LLAMA3_8B_1048K, DuoConfig
+    from duo_attention_tpu.engine import DuoEngine
+    from duo_attention_tpu.models import llama
+    import dataclasses
+
+    cfg = dataclasses.replace(LLAMA3_8B_1048K, num_layers=num_layers)
+    num_full = round(cfg.num_kv_heads * (1 - sparsity))
+    duo = DuoConfig(
+        sink_size=64,
+        recent_size=256,
+        num_full_kv_heads=(num_full,) * cfg.num_layers,
+        max_cache_size=ctx_len,
+        prefill_chunk_size=chunk,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    eng = DuoEngine(params, cfg, duo, batch_size=1, dtype=jnp.bfloat16)
+    return eng
+
+
+def bench_decode(eng, ctx_len, steps=32, warmup=8):
+    """Decode tokens/s with the cache pre-advanced to ctx_len (the
+    steady-state long-context decode regime the reference measures)."""
+    cache = eng.new_cache()
+    cache = cache._replace(length=jnp.asarray(ctx_len - steps - warmup, jnp.int32))
+    token = jnp.zeros((1,), jnp.int32)
+
+    tokens, cache = eng._decode_steps(eng.params, cache, token, num_steps=warmup)
+    jax.block_until_ready(tokens)
+    t0 = time.perf_counter()
+    tokens, cache = eng._decode_steps(eng.params, cache, tokens[:, -1], num_steps=steps)
+    jax.block_until_ready(tokens)
+    dt = time.perf_counter() - t0
+    from duo_attention_tpu.cache import kv_memory_bytes
+
+    return steps / dt, kv_memory_bytes(cache)
+
+
+def main():
+    ctx_len = 131072
+    num_layers = 8
+
+    eng_duo = build(num_layers, ctx_len, sparsity=0.5)
+    duo_tps, duo_kv = bench_decode(eng_duo, ctx_len)
+    del eng_duo
+
+    eng_full = build(num_layers, ctx_len, sparsity=0.0)
+    full_tps, full_kv = bench_decode(eng_full, ctx_len)
+    del eng_full
+
+    result = {
+        "metric": f"decode_tokens_per_s_{ctx_len//1024}k_ctx_duo0.5",
+        "value": round(duo_tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(duo_tps / full_tps, 3),
+    }
+    print(
+        f"[bench] duo: {duo_tps:.1f} tok/s, KV {duo_kv/1e9:.2f} GB | "
+        f"full: {full_tps:.1f} tok/s, KV {full_kv/1e9:.2f} GB | "
+        f"speedup {duo_tps/full_tps:.2f}x, KV ratio {full_kv/duo_kv:.2f}x",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

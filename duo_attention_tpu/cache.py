@@ -1,0 +1,201 @@
+"""DuoAttention KV cache — functional, statically-shaped, jit-native.
+
+Re-design of the reference's ``DuoAttentionStaticKVCache``
+(duo_attn/patch/static_kv_cache.py:18-315). Same capability:
+
+* full (retrieval) KV heads get an unbounded-until-max preallocated cache,
+* streaming KV heads get a constant-size sink+recent cache,
+* per-layer heterogeneous head splits (num_full_kv_head differs per layer),
+* chunked prefill and decode feed the same structure.
+
+TPU-native deltas (deliberate, see SURVEY.md §7.1/7.3):
+
+1. **No compress copies.** The reference's ``compress_and_replace_streaming_kv``
+   / ``compress`` (static_kv_cache.py:127-167,265-283) move sink+recent data
+   after every chunk and every decode step. Here the streaming recent window
+   is a **ring buffer** over global token positions: slot ``g % R`` holds
+   token ``g``. Attention is permutation-invariant over KV slots, so ring
+   order is exactly equivalent to the reference's compacted order — the mask
+   is computed from position arithmetic instead of data movement. Decode
+   writes one token (dynamic_update_slice) and never copies the window.
+
+2. **Functional updates.** All mutation is dynamic_update_slice / scatter on
+   donated buffers; the clone-before-overlap-copy hazards of the reference
+   (static_kv_cache.py:271,277) are structurally absent.
+
+Semantics of the visible KV set (verified equal to the reference's):
+for a query at global position ``qpos`` inside a chunk starting at ``cs``,
+a streaming head sees  ``{g < sink}  ∪  {g : cs - recent <= g <= qpos}``,
+i.e. the sink tokens plus the reference's "cached recent as of chunk start
+plus causal incoming" (duo_attn/patch/llama.py:225-267). A full head sees
+``{g <= qpos}``.
+
+Ring sizing: R = recent + chunk so that tokens inside the window are never
+overwritten while still needed: a chunk write [cs, cs+C) only overwrites
+tokens g' <= cs - recent - 1 < cs - recent. Padding tokens in a final
+partial chunk land in slots whose masked position (the pre-overwrite token's
+``g``) is out-of-window, so they are invisible until genuinely overwritten
+by real tokens — no trash zone or cleanup pass is needed.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import DuoConfig, ModelConfig
+
+
+class DuoCache(NamedTuple):
+    """Per-layer tuples (layers have heterogeneous head splits).
+
+    k_full/v_full: [B, max_size, Hf_l, D]
+    k_sink/v_sink: [B, sink + chunk, Hs_l, D]  (trailing chunk = overflow pad,
+        never visible; lets a straddling chunk be written with one
+        dynamic_update_slice)
+    k_ring/v_ring: [B, recent + chunk, Hs_l, D]
+    length: scalar int32 — total real tokens absorbed so far.
+    """
+
+    k_full: Tuple[jnp.ndarray, ...]
+    v_full: Tuple[jnp.ndarray, ...]
+    k_sink: Tuple[jnp.ndarray, ...]
+    v_sink: Tuple[jnp.ndarray, ...]
+    k_ring: Tuple[jnp.ndarray, ...]
+    v_ring: Tuple[jnp.ndarray, ...]
+    length: jnp.ndarray
+
+
+def ring_capacity(duo: DuoConfig) -> int:
+    return duo.recent_size + duo.prefill_chunk_size
+
+
+def init_cache(
+    cfg: ModelConfig, duo: DuoConfig, batch_size: int, dtype=jnp.bfloat16
+) -> DuoCache:
+    """Preallocate all per-layer buffers (reference: static_kv_cache.py:52-99)."""
+    assert len(duo.num_full_kv_heads) == cfg.num_layers
+    R = ring_capacity(duo)
+    C = duo.prefill_chunk_size
+    D = cfg.head_dim
+
+    k_full, v_full, k_sink, v_sink, k_ring, v_ring = [], [], [], [], [], []
+    for hf in duo.num_full_kv_heads:
+        hs = cfg.num_kv_heads - hf
+        k_full.append(jnp.zeros((batch_size, duo.max_cache_size, hf, D), dtype))
+        v_full.append(jnp.zeros((batch_size, duo.max_cache_size, hf, D), dtype))
+        k_sink.append(jnp.zeros((batch_size, duo.sink_size + C, hs, D), dtype))
+        v_sink.append(jnp.zeros((batch_size, duo.sink_size + C, hs, D), dtype))
+        k_ring.append(jnp.zeros((batch_size, R, hs, D), dtype))
+        v_ring.append(jnp.zeros((batch_size, R, hs, D), dtype))
+
+    return DuoCache(
+        k_full=tuple(k_full),
+        v_full=tuple(v_full),
+        k_sink=tuple(k_sink),
+        v_sink=tuple(v_sink),
+        k_ring=tuple(k_ring),
+        v_ring=tuple(v_ring),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-layer updates (pure; called inside the jitted model forward)
+# ---------------------------------------------------------------------------
+
+
+def write_full(buf: jnp.ndarray, incoming: jnp.ndarray, start) -> jnp.ndarray:
+    """Append incoming [B, S, Hf, D] at position ``start`` (traced scalar)."""
+    return jax.lax.dynamic_update_slice(buf, incoming, (0, start, 0, 0))
+
+
+def write_streaming(
+    k_sink, v_sink, k_ring, v_ring, k_new, v_new, start, sink_size: int
+):
+    """Write a chunk into sink (positional) and ring (mod-R) regions.
+
+    k_new/v_new: [B, S, Hs, D]; start: traced scalar (chunk's first global
+    position). Tokens with g < sink land in the sink region; every token
+    also lands in the ring at slot g % R (harmless duplication — masks
+    de-duplicate by position, see ring/sink mask builders below).
+    """
+    S = k_new.shape[1]
+    R = k_ring.shape[1]
+    # Sink region: single dynamic_update_slice at min(start, sink). If the
+    # chunk is entirely past the sink, it lands in the overflow pad (slots
+    # >= sink are never visible).
+    sink_off = jnp.minimum(start, sink_size)
+    k_sink = jax.lax.dynamic_update_slice(k_sink, k_new, (0, sink_off, 0, 0))
+    v_sink = jax.lax.dynamic_update_slice(v_sink, v_new, (0, sink_off, 0, 0))
+
+    if S == 1:
+        slot = (start % R).astype(jnp.int32)
+        k_ring = jax.lax.dynamic_update_slice(k_ring, k_new, (0, slot, 0, 0))
+        v_ring = jax.lax.dynamic_update_slice(v_ring, v_new, (0, slot, 0, 0))
+    else:
+        idx = (start + jnp.arange(S, dtype=jnp.int32)) % R  # [S]
+        k_ring = k_ring.at[:, idx].set(k_new)
+        v_ring = v_ring.at[:, idx].set(v_new)
+    return k_sink, v_sink, k_ring, v_ring
+
+
+# ---------------------------------------------------------------------------
+# Mask builders (position arithmetic; shared by jnp path and Pallas kernels)
+# ---------------------------------------------------------------------------
+
+
+def ring_slot_positions(R: int, total_after) -> jnp.ndarray:
+    """Global position of the latest token written at each ring slot.
+
+    slot s holds token g = largest g ≡ s (mod R) with g < total_after.
+    Slots never written get negative g (masked out downstream).
+    Returns [R] int32.
+    """
+    s = jnp.arange(R, dtype=jnp.int32)
+    t = total_after.astype(jnp.int32)
+    return t - 1 - ((t - 1 - s) % R)
+
+
+def full_mask(q_positions: jnp.ndarray, buf_len: int) -> jnp.ndarray:
+    """[S, buf_len] bool: full-head query attends slot j iff j <= qpos."""
+    j = jnp.arange(buf_len, dtype=jnp.int32)[None, :]
+    return j <= q_positions[:, None]
+
+
+def sink_mask(q_positions: jnp.ndarray, buf_len: int, sink_size: int) -> jnp.ndarray:
+    """[S, buf_len] bool over the sink buffer (slot s holds token s)."""
+    s = jnp.arange(buf_len, dtype=jnp.int32)[None, :]
+    return (s < sink_size) & (s <= q_positions[:, None])
+
+
+def ring_mask(
+    q_positions: jnp.ndarray,
+    R: int,
+    total_after,
+    chunk_start,
+    sink_size: int,
+    recent_size: int,
+) -> jnp.ndarray:
+    """[S, R] bool over the ring buffer.
+
+    Visible iff the slot's token position g satisfies:
+      g >= sink (sink tokens live in the sink region — dedupe),
+      g >= chunk_start - recent (the window as of chunk start),
+      g <= qpos (causal), and g >= 0 (slot written).
+    """
+    g = ring_slot_positions(R, total_after)[None, :]
+    qp = q_positions[:, None]
+    window_lo = jnp.maximum(chunk_start - recent_size, 0)
+    return (g >= sink_size) & (g >= window_lo) & (g <= qp) & (g >= 0)
+
+
+def kv_memory_bytes(cache: DuoCache) -> int:
+    """KV-cache byte accountant (reference: static_kv_cache.py:299-315)."""
+    total = 0
+    for field in ("k_full", "v_full", "k_sink", "v_sink", "k_ring", "v_ring"):
+        for arr in getattr(cache, field):
+            total += arr.size * arr.dtype.itemsize
+    return total

@@ -1,0 +1,152 @@
+"""Inference engine: chunked prefill + on-device greedy decode.
+
+Replaces the reference's three separate drivers (tuple-cache HF generate,
+static-cache benchmark loop, QServe demo loop — SURVEY.md §1) with one
+engine. Chunked prefill is a host loop of one jitted chunk step with a
+donated cache (reference protocol: 32k chunks,
+eval/needle/needle_in_haystack.py:275-287, demo/run_duo_w8a8kv4.py:172-199).
+Decode runs as a ``lax.scan`` entirely on device — the reference's per-token
+``.item()`` host syncs (needle_in_haystack.py:302-314) are a latency hazard
+we deliberately avoid (SURVEY.md §3 boundary notes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cache import DuoCache, init_cache
+from .config import DuoConfig, ModelConfig
+from .models import llama
+
+
+class DuoEngine:
+    """Stateless-compile, stateful-cache inference engine."""
+
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        duo: DuoConfig,
+        batch_size: int = 1,
+        dtype=jnp.bfloat16,
+        attn_impl: str = "ref",
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.duo = duo
+        self.batch_size = batch_size
+        self.dtype = dtype
+        self.attn_impl = attn_impl
+
+        self._chunk_step = jax.jit(
+            functools.partial(
+                _chunk_step, cfg=cfg, duo=duo, attn_impl=attn_impl
+            ),
+            donate_argnums=(1,),
+        )
+        self._decode_steps = jax.jit(
+            functools.partial(
+                _decode_scan, cfg=cfg, duo=duo, attn_impl=attn_impl
+            ),
+            static_argnames=("num_steps",),
+            donate_argnums=(1,),
+        )
+
+    def new_cache(self) -> DuoCache:
+        return init_cache(self.cfg, self.duo, self.batch_size, self.dtype)
+
+    def prefill(
+        self, input_ids: np.ndarray, cache: Optional[DuoCache] = None
+    ) -> Tuple[DuoCache, jnp.ndarray]:
+        """Chunked prefill. input_ids: [B, S] host array.
+
+        Returns (cache, last_token_logits [B, vocab])."""
+        if cache is None:
+            cache = self.new_cache()
+        input_ids = np.asarray(input_ids)
+        B, S = input_ids.shape
+        C = self.duo.prefill_chunk_size
+        logits = None
+        for start in range(0, S, C):
+            chunk = input_ids[:, start : start + C]
+            n_valid = chunk.shape[1]
+            if n_valid < C:  # pad the tail chunk; masks hide the padding
+                chunk = np.pad(chunk, ((0, 0), (0, C - n_valid)))
+            cache, logits = self._chunk_step(
+                self.params,
+                cache,
+                jnp.asarray(chunk),
+                jnp.asarray(n_valid, jnp.int32),
+            )
+        return cache, logits
+
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        max_new_tokens: int,
+        cache: Optional[DuoCache] = None,
+        stop_token_ids: Optional[list] = None,
+    ) -> Tuple[np.ndarray, DuoCache]:
+        """Greedy generation: chunked prefill then on-device decode scan.
+
+        Returns (generated token ids [B, max_new_tokens], cache)."""
+        cache, logits = self.prefill(input_ids, cache)
+        first_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
+        tokens, cache = self._decode_steps(
+            self.params, cache, first_token, num_steps=max_new_tokens
+        )
+        tokens = np.asarray(tokens)  # [B, max_new_tokens]
+        if stop_token_ids:
+            tokens = _truncate_at_stop(tokens, stop_token_ids)
+        return tokens, cache
+
+    def decode_step(self, cache: DuoCache, token: jnp.ndarray):
+        """Single decode step (used by eval 'simulation' mode,
+        reference: eval/LongBench/pred.py:125-142)."""
+        tokens, cache = self._decode_steps(self.params, cache, token, num_steps=1)
+        return tokens[:, 0], cache
+
+
+def _chunk_step(params, cache, chunk, n_valid, *, cfg, duo, attn_impl):
+    hidden, cache = llama.forward_chunk(
+        params, cfg, duo, cache, chunk, n_valid, attn_impl=attn_impl
+    )
+    logits = llama.logits_at(params, hidden, n_valid - 1)
+    return cache, logits
+
+
+def _decode_scan(params, cache, first_token, *, cfg, duo, attn_impl, num_steps):
+    """Greedy decode of ``num_steps`` tokens as a device-side scan.
+
+    Carry = (cache, next_token). Emits the token fed at each step, so the
+    output sequence starts with ``first_token`` and contains num_steps ids.
+    """
+
+    def step(carry, _):
+        cache, token = carry
+        hidden, cache = llama.forward_chunk(
+            params, cfg, duo, cache, token[:, None], attn_impl=attn_impl
+        )
+        logits = llama.logits_at(params, hidden, 0)
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (cache, next_token), token
+
+    (cache, _), tokens = jax.lax.scan(
+        step, (cache, first_token), None, length=num_steps
+    )
+    return tokens.T, cache  # [B, num_steps]
+
+
+def _truncate_at_stop(tokens: np.ndarray, stop_ids) -> np.ndarray:
+    out = tokens.copy()
+    for b in range(out.shape[0]):
+        for t in range(out.shape[1]):
+            if out[b, t] in stop_ids:
+                out[b, t + 1 :] = stop_ids[0]
+                break
+    return out

@@ -1,0 +1,319 @@
+"""Functional Llama/Mistral/Mixtral-dense model — the single engine.
+
+The reference maintains three incarnations of the same model (HF patched
+tuple-cache, HF patched static-cache, QServe from-scratch demo — see
+SURVEY.md §1 note); here one functional implementation serves training,
+chunked prefill and decode, parameterized by ModelConfig/DuoConfig and a
+pluggable attention backend ("ref" jnp oracle now, Pallas kernels as the
+fast path).
+
+Weight layout: all projections stored [in_features, out_features] so the
+forward is ``x @ W`` (dot rides the MXU with bf16 inputs). KV-head
+reordering (retrieval heads first) is applied once at load time in
+models/convert.py, mirroring duo_attn/patch/utils.py:6-45.
+
+Parity citations: attention math duo_attn/patch/llama.py:146-306 (one-way
+reordered eval path), chunk semantics duo_attn/patch/llama.py:225-267,
+static-cache threading duo_attn/patch/static_kv_cache.py:318-567.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cache import (
+    DuoCache,
+    full_mask,
+    ring_mask,
+    sink_mask,
+    write_full,
+    write_streaming,
+)
+from ..config import DuoConfig, ModelConfig
+from ..ops.attention_ref import masked_attention
+from ..ops.norm import rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (random; HF conversion lives in convert.py)
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
+    """Random-init params with the right shapes (for tests and benchmarks)."""
+    E = cfg.hidden_size
+    D = cfg.head_dim
+    Hq, Hkv = cfg.num_heads, cfg.num_kv_heads
+    I = cfg.intermediate_size
+
+    def dense(key, shape, scale=None):
+        if scale is None:
+            scale = 1.0 / (shape[0] ** 0.5)
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    layers = []
+    for li in range(cfg.num_layers):
+        lk = jax.random.split(keys[li], 8)
+        layer = {
+            "input_norm": jnp.ones((E,), dtype),
+            "post_norm": jnp.ones((E,), dtype),
+            "wq": dense(lk[0], (E, Hq * D)),
+            "wk": dense(lk[1], (E, Hkv * D)),
+            "wv": dense(lk[2], (E, Hkv * D)),
+            "wo": dense(lk[3], (Hq * D, E)),
+            "w_gate": dense(lk[4], (E, I)),
+            "w_up": dense(lk[5], (E, I)),
+            "w_down": dense(lk[6], (I, E)),
+        }
+        if cfg.attention_bias:
+            layer["bq"] = jnp.zeros((Hq * D,), dtype)
+            layer["bk"] = jnp.zeros((Hkv * D,), dtype)
+            layer["bv"] = jnp.zeros((Hkv * D,), dtype)
+        layers.append(layer)
+
+    params = {
+        "embed": dense(keys[-3], (cfg.vocab_size, E), scale=0.02),
+        "layers": tuple(layers),
+        "final_norm": jnp.ones((E,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(keys[-2], (E, cfg.vocab_size))
+    return params
+
+
+def lm_head_weight(params: Params) -> jnp.ndarray:
+    if "lm_head" in params:
+        return params["lm_head"]
+    return params["embed"].T  # tied embeddings
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def _qkv(layer: Params, x: jnp.ndarray, cfg: ModelConfig):
+    B, S, _ = x.shape
+    D = cfg.head_dim
+    q = x @ layer["wq"]
+    k = x @ layer["wk"]
+    v = x @ layer["wv"]
+    if "bq" in layer:
+        q = q + layer["bq"]
+        k = k + layer["bk"]
+        v = v + layer["bv"]
+    q = q.reshape(B, S, cfg.num_heads, D)
+    k = k.reshape(B, S, cfg.num_kv_heads, D)
+    v = v.reshape(B, S, cfg.num_kv_heads, D)
+    return q, k, v
+
+
+def _mlp(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return (jax.nn.silu(x @ layer["w_gate"]) * (x @ layer["w_up"])) @ layer["w_down"]
+
+
+def _duo_layer_attention(
+    layer_idx: int,
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cache: DuoCache,
+    cfg: ModelConfig,
+    duo: DuoConfig,
+    positions: jnp.ndarray,
+    attn_impl: str,
+):
+    """Split-head attention for one layer; returns (out, updated layer bufs).
+
+    q: [B, S, Hq, D]; k/v: [B, S, Hkv, D], all post-RoPE. positions: [S]
+    global query positions; cache.length is the chunk start.
+    """
+    hf = duo.num_full_kv_heads[layer_idx]
+    hs = cfg.num_kv_heads - hf
+    G = cfg.num_kv_groups
+    S = q.shape[1]
+    cs = cache.length
+    total_after = cs + S  # includes any tail padding; masks handle it
+
+    outs = []
+    new_bufs = {}
+
+    if hf > 0:
+        kf = write_full(cache.k_full[layer_idx], k[:, :, :hf], cs)
+        vf = write_full(cache.v_full[layer_idx], v[:, :, :hf], cs)
+        new_bufs["k_full"], new_bufs["v_full"] = kf, vf
+        if attn_impl == "ref":
+            mask = full_mask(positions, kf.shape[1])[None, None]
+            outs.append(masked_attention(q[:, :, : hf * G], kf, vf, mask))
+        elif attn_impl == "pallas":
+            from ..ops.flash import full_cache_attention
+
+            outs.append(
+                full_cache_attention(q[:, :, : hf * G], kf, vf, cs, positions)
+            )
+        else:
+            raise ValueError(f"unknown attn_impl {attn_impl}")
+    else:
+        new_bufs["k_full"] = cache.k_full[layer_idx]
+        new_bufs["v_full"] = cache.v_full[layer_idx]
+
+    if hs > 0:
+        ks, vs, kr, vr = write_streaming(
+            cache.k_sink[layer_idx],
+            cache.v_sink[layer_idx],
+            cache.k_ring[layer_idx],
+            cache.v_ring[layer_idx],
+            k[:, :, hf:],
+            v[:, :, hf:],
+            cs,
+            duo.sink_size,
+        )
+        new_bufs["k_sink"], new_bufs["v_sink"] = ks, vs
+        new_bufs["k_ring"], new_bufs["v_ring"] = kr, vr
+        R = kr.shape[1]
+        q_s = q[:, :, hf * G :]
+        if attn_impl == "ref":
+            k_cat = jnp.concatenate([ks[:, : duo.sink_size], kr], axis=1)
+            v_cat = jnp.concatenate([vs[:, : duo.sink_size], vr], axis=1)
+            m_sink = sink_mask(positions, duo.sink_size, duo.sink_size)
+            m_ring = ring_mask(
+                positions, R, total_after, cs, duo.sink_size, duo.recent_size
+            )
+            mask = jnp.concatenate([m_sink, m_ring], axis=1)[None, None]
+            outs.append(masked_attention(q_s, k_cat, v_cat, mask))
+        elif attn_impl == "pallas":
+            from ..ops.flash import streaming_cache_attention
+
+            outs.append(
+                streaming_cache_attention(
+                    q_s, ks, vs, kr, vr, cs, total_after, positions,
+                    duo.sink_size, duo.recent_size,
+                )
+            )
+        else:
+            raise ValueError(f"unknown attn_impl {attn_impl}")
+    else:
+        for name in ("k_sink", "v_sink", "k_ring", "v_ring"):
+            new_bufs[name] = getattr(cache, name)[layer_idx]
+
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+    return out, new_bufs
+
+
+def _replace_layer(cache: DuoCache, layer_idx: int, new_bufs: dict) -> DuoCache:
+    def upd(field):
+        bufs = list(getattr(cache, field))
+        bufs[layer_idx] = new_bufs[field]
+        return tuple(bufs)
+
+    return cache._replace(
+        k_full=upd("k_full"),
+        v_full=upd("v_full"),
+        k_sink=upd("k_sink"),
+        v_sink=upd("v_sink"),
+        k_ring=upd("k_ring"),
+        v_ring=upd("v_ring"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cached forward (chunked prefill + decode)
+# ---------------------------------------------------------------------------
+
+
+def forward_chunk(
+    params: Params,
+    cfg: ModelConfig,
+    duo: DuoConfig,
+    cache: DuoCache,
+    input_ids: jnp.ndarray,
+    n_valid=None,
+    attn_impl: str = "ref",
+) -> Tuple[jnp.ndarray, DuoCache]:
+    """One forward step over a chunk of tokens with cache update.
+
+    input_ids: [B, S] (S static; tail beyond n_valid is padding).
+    n_valid: traced scalar count of real tokens in this chunk (default S).
+    Returns (hidden_states [B, S, E] post-final-norm, new cache with
+    length advanced by n_valid).
+    """
+    B, S = input_ids.shape
+    if n_valid is None:
+        n_valid = jnp.asarray(S, jnp.int32)
+
+    positions = cache.length + jnp.arange(S, dtype=jnp.int32)
+    inv_freq = rope_inv_freq(cfg)
+    cos, sin = rope_cos_sin(inv_freq, positions)  # [S, D]
+
+    x = params["embed"][input_ids]  # [B, S, E]
+
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(layer, h, cfg)
+        q = apply_rope(q, cos[None], sin[None])
+        k = apply_rope(k, cos[None], sin[None])
+        attn_out, new_bufs = _duo_layer_attention(
+            li, q, k, v, cache, cfg, duo, positions, attn_impl
+        )
+        attn_out = attn_out.reshape(B, S, cfg.num_heads * cfg.head_dim)
+        x = x + attn_out @ layer["wo"]
+        h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
+        x = x + _mlp(layer, h)
+        cache = _replace_layer(cache, li, new_bufs)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    cache = cache._replace(length=cache.length + n_valid.astype(jnp.int32))
+    return x, cache
+
+
+def logits_at(params: Params, hidden: jnp.ndarray, index) -> jnp.ndarray:
+    """lm_head on a single position (last-token-only, like the reference
+    demo's last-token lm_head, demo/w8a8kv4_llama.py:478-483).
+
+    hidden: [B, S, E]; index: traced scalar. Returns [B, vocab]."""
+    h = jax.lax.dynamic_slice_in_dim(hidden, index, 1, axis=1)[:, 0]
+    return (h @ lm_head_weight(params)).astype(jnp.float32)
+
+
+def all_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    return (hidden @ lm_head_weight(params)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Uncached forward (training / teacher-forcing oracle)
+# ---------------------------------------------------------------------------
+
+
+def forward_full_attention(
+    params: Params, cfg: ModelConfig, input_ids: jnp.ndarray
+) -> jnp.ndarray:
+    """Plain causal forward with no cache — the gates=1 oracle.
+
+    Used by tests to verify duo forward ≡ full attention when every head is
+    a retrieval head (the reference exercises this as sparsity=0,
+    scripts/run_efficiency.sh:4).
+    """
+    from ..ops.attention_ref import causal_attention_ref
+
+    B, S = input_ids.shape
+    positions = jnp.arange(S, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(rope_inv_freq(cfg), positions)
+    x = params["embed"][input_ids]
+    for layer in params["layers"]:
+        h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(layer, h, cfg)
+        q = apply_rope(q, cos[None], sin[None])
+        k = apply_rope(k, cos[None], sin[None])
+        attn = causal_attention_ref(q, k, v)
+        x = x + attn.reshape(B, S, -1) @ layer["wo"]
+        h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
+        x = x + _mlp(layer, h)
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

@@ -1,0 +1,172 @@
+"""Device mesh + sharding rules.
+
+One GSPMD mesh with axes ``(data, tensor)`` (a ``seq`` axis is added by the
+training subsystem for Ulysses-style sequence parallelism) replaces the
+reference's four separate mechanisms: torchrun/NCCL process groups
+(train.py:51-53), the ``tensor_parallel`` package's KV-head-chunked TP
+(utils.py:108-227), accelerate pipeline dispatch (utils.py:228-283), and
+FSDP2 sharding (train.py:60-69).
+
+Inference TP strategy (reference counterpart: utils.py:132-195):
+* megatron MLP: w_gate/w_up column-split, w_down row-split over ``tensor``
+  (XLA inserts the psum),
+* attention q/k/v column-split over heads when divisible, o row-split,
+* batch over ``data``,
+* full-KV cache: batch over ``data``; head axis over ``tensor`` when the
+  per-layer retrieval head count divides evenly, else replicated (per-layer
+  head counts are arbitrary after gating — the reference has the same
+  constraint and gathers KV, utils.py:144-146),
+* streaming caches are O(sink+recent) — replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DuoConfig, ModelConfig
+
+
+def build_mesh(n_devices: Optional[int] = None, data: Optional[int] = None):
+    """Build a (data, tensor) mesh over the first n devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if data is None:
+        # favor tensor parallelism within a host
+        data = 1 if n_devices <= 8 else n_devices // 8
+    tensor = n_devices // data
+    mesh_devices = np.array(devices[: data * tensor]).reshape(data, tensor)
+    return Mesh(mesh_devices, axis_names=("data", "tensor"))
+
+
+def _ns(mesh, *spec):
+    return NamedSharding(mesh, P(*spec))
+
+
+def param_shardings(mesh: Mesh, cfg: ModelConfig):
+    """Sharding pytree matching llama.init_params structure."""
+    tp = mesh.shape["tensor"]
+    head_div = cfg.num_heads % tp == 0
+    kv_div = cfg.num_kv_heads % tp == 0
+
+    col = _ns(mesh, None, "tensor")
+    row = _ns(mesh, "tensor", None)
+    rep = _ns(mesh)
+
+    layer = {
+        "input_norm": rep,
+        "post_norm": rep,
+        "wq": col if head_div else rep,
+        "wk": col if kv_div else rep,
+        "wv": col if kv_div else rep,
+        "wo": row if head_div else rep,
+        "w_gate": col,
+        "w_up": col,
+        "w_down": row,
+    }
+    if cfg.attention_bias:
+        layer["bq"] = _ns(mesh, "tensor") if head_div else rep
+        layer["bk"] = _ns(mesh, "tensor") if kv_div else rep
+        layer["bv"] = _ns(mesh, "tensor") if kv_div else rep
+    out = {
+        "embed": _ns(mesh, "tensor", None),
+        "layers": tuple(layer for _ in range(cfg.num_layers)),
+        "final_norm": rep,
+        "lm_head": col,
+    }
+    return out
+
+
+def cache_shardings(mesh: Mesh, cfg: ModelConfig, duo: DuoConfig):
+    """Sharding pytree matching DuoCache structure."""
+    from ..cache import DuoCache
+
+    tp = mesh.shape["tensor"]
+
+    def full_spec(hf):
+        if hf > 0 and hf % tp == 0:
+            return _ns(mesh, "data", None, "tensor", None)
+        return _ns(mesh, "data", None, None, None)
+
+    def stream_spec(hf):
+        hs = cfg.num_kv_heads - hf
+        if hs > 0 and hs % tp == 0:
+            return _ns(mesh, "data", None, "tensor", None)
+        return _ns(mesh, "data", None, None, None)
+
+    return DuoCache(
+        k_full=tuple(full_spec(hf) for hf in duo.num_full_kv_heads),
+        v_full=tuple(full_spec(hf) for hf in duo.num_full_kv_heads),
+        k_sink=tuple(stream_spec(hf) for hf in duo.num_full_kv_heads),
+        v_sink=tuple(stream_spec(hf) for hf in duo.num_full_kv_heads),
+        k_ring=tuple(stream_spec(hf) for hf in duo.num_full_kv_heads),
+        v_ring=tuple(stream_spec(hf) for hf in duo.num_full_kv_heads),
+        length=_ns(mesh),
+    )
+
+
+def shard_inference_state(mesh, cfg, duo, params, cache):
+    p_sh = param_shardings(mesh, cfg)
+    if "lm_head" not in params:
+        p_sh = {k: v for k, v in p_sh.items() if k != "lm_head"}
+    c_sh = cache_shardings(mesh, cfg, duo)
+    params = jax.device_put(params, p_sh)
+    cache = jax.device_put(cache, c_sh)
+    return params, cache, p_sh, c_sh
+
+
+def dryrun_step(n_devices: int) -> None:
+    """Compile + execute one full sharded step on tiny shapes.
+
+    Runs (a) a tp+dp-sharded inference chunk step and (b) a dp+sp-sharded
+    gate-training step if the training module is present.
+    """
+    from ..cache import init_cache
+    from ..config import DuoConfig, ModelConfig
+    from ..models import llama
+
+    cfg = ModelConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_layers=2,
+        num_heads=8,
+        num_kv_heads=8,
+        head_dim=16,
+        model_type="llama",
+    )
+    duo = DuoConfig(
+        sink_size=8,
+        recent_size=16,
+        num_full_kv_heads=(4, 8),
+        max_cache_size=256,
+        prefill_chunk_size=32,
+    )
+    mesh = build_mesh(n_devices, data=2 if n_devices % 2 == 0 else 1)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    batch = mesh.shape["data"]
+    cache = init_cache(cfg, duo, batch_size=batch)
+    params, cache, p_sh, c_sh = shard_inference_state(mesh, cfg, duo, params, cache)
+    ids = jnp.zeros((batch, duo.prefill_chunk_size), jnp.int32)
+    ids = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+
+    @jax.jit
+    def step(params, cache, ids):
+        hidden, cache = llama.forward_chunk(params, cfg, duo, cache, ids)
+        return llama.logits_at(params, hidden, ids.shape[1] - 1), cache
+
+    logits, cache = step(params, cache, ids)
+    jax.block_until_ready(logits)
+    assert logits.shape == (batch, cfg.vocab_size)
+
+    # Training step (dp × sp with Ulysses all-to-all) — if available.
+    try:
+        from ..train.trainer import dryrun_train_step
+    except ImportError:
+        return
+    dryrun_train_step(n_devices)
