@@ -51,11 +51,15 @@ from .config import DuoConfig, ModelConfig
 class DuoCache(NamedTuple):
     """Per-layer tuples (layers have heterogeneous head splits).
 
-    k_full/v_full: [B, max_size, Hf_l, D]
-    k_sink/v_sink: [B, sink + chunk, Hs_l, D]  (trailing chunk = overflow pad,
-        never visible; lets a straddling chunk be written with one
+    Layout is [batch, kv_head, slot, head_dim] — head-major so Pallas kernel
+    blocks over the slot axis tile as (block_k, head_dim), the native TPU
+    (sublane, lane) shape.
+
+    k_full/v_full: [B, Hf_l, max_size, D]
+    k_sink/v_sink: [B, Hs_l, sink + chunk, D]  (trailing chunk = overflow
+        pad, never visible; lets a straddling chunk be written with one
         dynamic_update_slice)
-    k_ring/v_ring: [B, recent + chunk, Hs_l, D]
+    k_ring/v_ring: [B, Hs_l, R, D] with R = round_up(recent + chunk, 512)
     length: scalar int32 — total real tokens absorbed so far.
     """
 
@@ -68,8 +72,14 @@ class DuoCache(NamedTuple):
     length: jnp.ndarray
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def ring_capacity(duo: DuoConfig) -> int:
-    return duo.recent_size + duo.prefill_chunk_size
+    # Rounded up so Pallas kv blocks (<=512) divide the ring evenly; a
+    # bigger ring only widens the window margin, never changes semantics.
+    return _round_up(duo.recent_size + duo.prefill_chunk_size, 512)
 
 
 def init_cache(
@@ -84,12 +94,12 @@ def init_cache(
     k_full, v_full, k_sink, v_sink, k_ring, v_ring = [], [], [], [], [], []
     for hf in duo.num_full_kv_heads:
         hs = cfg.num_kv_heads - hf
-        k_full.append(jnp.zeros((batch_size, duo.max_cache_size, hf, D), dtype))
-        v_full.append(jnp.zeros((batch_size, duo.max_cache_size, hf, D), dtype))
-        k_sink.append(jnp.zeros((batch_size, duo.sink_size + C, hs, D), dtype))
-        v_sink.append(jnp.zeros((batch_size, duo.sink_size + C, hs, D), dtype))
-        k_ring.append(jnp.zeros((batch_size, R, hs, D), dtype))
-        v_ring.append(jnp.zeros((batch_size, R, hs, D), dtype))
+        k_full.append(jnp.zeros((batch_size, hf, duo.max_cache_size, D), dtype))
+        v_full.append(jnp.zeros((batch_size, hf, duo.max_cache_size, D), dtype))
+        k_sink.append(jnp.zeros((batch_size, hs, duo.sink_size + C, D), dtype))
+        v_sink.append(jnp.zeros((batch_size, hs, duo.sink_size + C, D), dtype))
+        k_ring.append(jnp.zeros((batch_size, hs, R, D), dtype))
+        v_ring.append(jnp.zeros((batch_size, hs, R, D), dtype))
 
     return DuoCache(
         k_full=tuple(k_full),
@@ -108,8 +118,8 @@ def init_cache(
 
 
 def write_full(buf: jnp.ndarray, incoming: jnp.ndarray, start) -> jnp.ndarray:
-    """Append incoming [B, S, Hf, D] at position ``start`` (traced scalar)."""
-    return jax.lax.dynamic_update_slice(buf, incoming, (0, start, 0, 0))
+    """Append incoming [B, Hf, S, D] at slot ``start`` (traced scalar)."""
+    return jax.lax.dynamic_update_slice(buf, incoming, (0, 0, start, 0))
 
 
 def write_streaming(
@@ -117,28 +127,28 @@ def write_streaming(
 ):
     """Write a chunk into sink (positional) and ring (mod-R) regions.
 
-    k_new/v_new: [B, S, Hs, D]; start: traced scalar (chunk's first global
+    k_new/v_new: [B, Hs, S, D]; start: traced scalar (chunk's first global
     position). Tokens with g < sink land in the sink region; every token
     also lands in the ring at slot g % R (harmless duplication — masks
     de-duplicate by position, see ring/sink mask builders below).
     """
-    S = k_new.shape[1]
-    R = k_ring.shape[1]
+    S = k_new.shape[2]
+    R = k_ring.shape[2]
     # Sink region: single dynamic_update_slice at min(start, sink). If the
     # chunk is entirely past the sink, it lands in the overflow pad (slots
     # >= sink are never visible).
     sink_off = jnp.minimum(start, sink_size)
-    k_sink = jax.lax.dynamic_update_slice(k_sink, k_new, (0, sink_off, 0, 0))
-    v_sink = jax.lax.dynamic_update_slice(v_sink, v_new, (0, sink_off, 0, 0))
+    k_sink = jax.lax.dynamic_update_slice(k_sink, k_new, (0, 0, sink_off, 0))
+    v_sink = jax.lax.dynamic_update_slice(v_sink, v_new, (0, 0, sink_off, 0))
 
     if S == 1:
         slot = (start % R).astype(jnp.int32)
-        k_ring = jax.lax.dynamic_update_slice(k_ring, k_new, (0, slot, 0, 0))
-        v_ring = jax.lax.dynamic_update_slice(v_ring, v_new, (0, slot, 0, 0))
+        k_ring = jax.lax.dynamic_update_slice(k_ring, k_new, (0, 0, slot, 0))
+        v_ring = jax.lax.dynamic_update_slice(v_ring, v_new, (0, 0, slot, 0))
     else:
         idx = (start + jnp.arange(S, dtype=jnp.int32)) % R  # [S]
-        k_ring = k_ring.at[:, idx].set(k_new)
-        v_ring = v_ring.at[:, idx].set(v_new)
+        k_ring = k_ring.at[:, :, idx].set(k_new)
+        v_ring = v_ring.at[:, :, idx].set(v_new)
     return k_sink, v_sink, k_ring, v_ring
 
 

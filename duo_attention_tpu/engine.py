@@ -8,6 +8,11 @@ eval/needle/needle_in_haystack.py:275-287, demo/run_duo_w8a8kv4.py:172-199).
 Decode runs as a ``lax.scan`` entirely on device — the reference's per-token
 ``.item()`` host syncs (needle_in_haystack.py:302-314) are a latency hazard
 we deliberately avoid (SURVEY.md §3 boundary notes).
+
+Length bucketing: the engine tracks the host-known token count and passes a
+static power-of-2 ``full_bucket`` into each jitted step, so the Pallas
+kernels' grids cover only the live prefix of the preallocated cache. Each
+new bucket costs one retrace (log2 many total).
 """
 
 from __future__ import annotations
@@ -24,6 +29,13 @@ from .config import DuoConfig, ModelConfig
 from .models import llama
 
 
+def _next_bucket(n: int, lo: int = 512) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 class DuoEngine:
     """Stateless-compile, stateful-cache inference engine."""
 
@@ -34,34 +46,60 @@ class DuoEngine:
         duo: DuoConfig,
         batch_size: int = 1,
         dtype=jnp.bfloat16,
-        attn_impl: str = "ref",
+        attn_impl: str = "auto",
     ):
         self.params = params
         self.cfg = cfg
         self.duo = duo
         self.batch_size = batch_size
         self.dtype = dtype
+        if attn_impl == "auto":
+            attn_impl = "pallas" if jax.default_backend() == "tpu" else "ref"
         self.attn_impl = attn_impl
+        self._chunk_fns = {}
+        self._decode_fns = {}
 
-        self._chunk_step = jax.jit(
-            functools.partial(
-                _chunk_step, cfg=cfg, duo=duo, attn_impl=attn_impl
-            ),
-            donate_argnums=(1,),
-        )
-        self._decode_steps = jax.jit(
-            functools.partial(
-                _decode_scan, cfg=cfg, duo=duo, attn_impl=attn_impl
-            ),
-            static_argnames=("num_steps",),
-            donate_argnums=(1,),
-        )
+    def _chunk_step_fn(self, bucket: int):
+        if bucket not in self._chunk_fns:
+            self._chunk_fns[bucket] = jax.jit(
+                functools.partial(
+                    _chunk_step,
+                    cfg=self.cfg,
+                    duo=self.duo,
+                    attn_impl=self.attn_impl,
+                    full_bucket=bucket,
+                ),
+                donate_argnums=(1,),
+            )
+        return self._chunk_fns[bucket]
+
+    def _decode_fn(self, bucket: int, num_steps: int):
+        key = (bucket, num_steps)
+        if key not in self._decode_fns:
+            self._decode_fns[key] = jax.jit(
+                functools.partial(
+                    _decode_scan,
+                    cfg=self.cfg,
+                    duo=self.duo,
+                    attn_impl=self.attn_impl,
+                    full_bucket=bucket,
+                    num_steps=num_steps,
+                ),
+                donate_argnums=(1,),
+            )
+        return self._decode_fns[key]
 
     def new_cache(self) -> DuoCache:
         return init_cache(self.cfg, self.duo, self.batch_size, self.dtype)
 
+    def bucket_for(self, length: int) -> int:
+        return min(_next_bucket(length), self.duo.max_cache_size)
+
     def prefill(
-        self, input_ids: np.ndarray, cache: Optional[DuoCache] = None
+        self,
+        input_ids: np.ndarray,
+        cache: Optional[DuoCache] = None,
+        start: int = 0,
     ) -> Tuple[DuoCache, jnp.ndarray]:
         """Chunked prefill. input_ids: [B, S] host array.
 
@@ -72,17 +110,20 @@ class DuoEngine:
         B, S = input_ids.shape
         C = self.duo.prefill_chunk_size
         logits = None
-        for start in range(0, S, C):
-            chunk = input_ids[:, start : start + C]
+        pos = start
+        for off in range(0, S, C):
+            chunk = input_ids[:, off : off + C]
             n_valid = chunk.shape[1]
             if n_valid < C:  # pad the tail chunk; masks hide the padding
                 chunk = np.pad(chunk, ((0, 0), (0, C - n_valid)))
-            cache, logits = self._chunk_step(
+            step = self._chunk_step_fn(self.bucket_for(pos + C))
+            cache, logits = step(
                 self.params,
                 cache,
                 jnp.asarray(chunk),
                 jnp.asarray(n_valid, jnp.int32),
             )
+            pos += n_valid
         return cache, logits
 
     def generate(
@@ -95,32 +136,38 @@ class DuoEngine:
         """Greedy generation: chunked prefill then on-device decode scan.
 
         Returns (generated token ids [B, max_new_tokens], cache)."""
+        input_ids = np.asarray(input_ids)
         cache, logits = self.prefill(input_ids, cache)
         first_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
-        tokens, cache = self._decode_steps(
-            self.params, cache, first_token, num_steps=max_new_tokens
-        )
+        bucket = self.bucket_for(input_ids.shape[1] + max_new_tokens)
+        fn = self._decode_fn(bucket, max_new_tokens)
+        tokens, cache = fn(self.params, cache, first_token)
         tokens = np.asarray(tokens)  # [B, max_new_tokens]
         if stop_token_ids:
             tokens = _truncate_at_stop(tokens, stop_token_ids)
         return tokens, cache
 
-    def decode_step(self, cache: DuoCache, token: jnp.ndarray):
+    def decode_step(self, cache: DuoCache, token: jnp.ndarray, length: int):
         """Single decode step (used by eval 'simulation' mode,
-        reference: eval/LongBench/pred.py:125-142)."""
-        tokens, cache = self._decode_steps(self.params, cache, token, num_steps=1)
+        reference: eval/LongBench/pred.py:125-142). length = host-known
+        token count before this step."""
+        fn = self._decode_fn(self.bucket_for(length + 1), 1)
+        tokens, cache = fn(self.params, cache, token)
         return tokens[:, 0], cache
 
 
-def _chunk_step(params, cache, chunk, n_valid, *, cfg, duo, attn_impl):
+def _chunk_step(params, cache, chunk, n_valid, *, cfg, duo, attn_impl, full_bucket):
     hidden, cache = llama.forward_chunk(
-        params, cfg, duo, cache, chunk, n_valid, attn_impl=attn_impl
+        params, cfg, duo, cache, chunk, n_valid,
+        attn_impl=attn_impl, full_bucket=full_bucket,
     )
     logits = llama.logits_at(params, hidden, n_valid - 1)
     return cache, logits
 
 
-def _decode_scan(params, cache, first_token, *, cfg, duo, attn_impl, num_steps):
+def _decode_scan(
+    params, cache, first_token, *, cfg, duo, attn_impl, full_bucket, num_steps
+):
     """Greedy decode of ``num_steps`` tokens as a device-side scan.
 
     Carry = (cache, next_token). Emits the token fed at each step, so the
@@ -130,7 +177,8 @@ def _decode_scan(params, cache, first_token, *, cfg, duo, attn_impl, num_steps):
     def step(carry, _):
         cache, token = carry
         hidden, cache = llama.forward_chunk(
-            params, cfg, duo, cache, token[:, None], attn_impl=attn_impl
+            params, cfg, duo, cache, token[:, None],
+            attn_impl=attn_impl, full_bucket=full_bucket,
         )
         logits = llama.logits_at(params, hidden, 0)
         next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)

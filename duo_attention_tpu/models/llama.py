@@ -130,11 +130,14 @@ def _duo_layer_attention(
     duo: DuoConfig,
     positions: jnp.ndarray,
     attn_impl: str,
+    full_bucket: int = 0,
 ):
     """Split-head attention for one layer; returns (out, updated layer bufs).
 
     q: [B, S, Hq, D]; k/v: [B, S, Hkv, D], all post-RoPE. positions: [S]
-    global query positions; cache.length is the chunk start.
+    global query positions; cache.length is the chunk start. full_bucket:
+    static upper bound on valid full-cache length for this call (0 = whole
+    buffer) — lets the Pallas kernel grid cover only live blocks.
     """
     hf = duo.num_full_kv_heads[layer_idx]
     hs = cfg.num_kv_heads - hf
@@ -147,18 +150,29 @@ def _duo_layer_attention(
     new_bufs = {}
 
     if hf > 0:
-        kf = write_full(cache.k_full[layer_idx], k[:, :, :hf], cs)
-        vf = write_full(cache.v_full[layer_idx], v[:, :, :hf], cs)
+        # incoming in cache layout [B, H, S, D]
+        k_in = k[:, :, :hf].transpose(0, 2, 1, 3)
+        v_in = v[:, :, :hf].transpose(0, 2, 1, 3)
+        kf = write_full(cache.k_full[layer_idx], k_in, cs)
+        vf = write_full(cache.v_full[layer_idx], v_in, cs)
         new_bufs["k_full"], new_bufs["v_full"] = kf, vf
+        q_f = q[:, :, : hf * G]
         if attn_impl == "ref":
-            mask = full_mask(positions, kf.shape[1])[None, None]
-            outs.append(masked_attention(q[:, :, : hf * G], kf, vf, mask))
+            mask = full_mask(positions, kf.shape[2])[None, None]
+            outs.append(
+                masked_attention(
+                    q_f,
+                    kf.transpose(0, 2, 1, 3),
+                    vf.transpose(0, 2, 1, 3),
+                    mask,
+                )
+            )
         elif attn_impl == "pallas":
             from ..ops.flash import full_cache_attention
 
-            outs.append(
-                full_cache_attention(q[:, :, : hf * G], kf, vf, cs, positions)
-            )
+            # bucket bounds the kernel grid; the buffer is passed whole so
+            # no live-prefix copy is materialized.
+            outs.append(full_cache_attention(q_f, kf, vf, cs, bucket=full_bucket))
         else:
             raise ValueError(f"unknown attn_impl {attn_impl}")
     else:
@@ -171,30 +185,37 @@ def _duo_layer_attention(
             cache.v_sink[layer_idx],
             cache.k_ring[layer_idx],
             cache.v_ring[layer_idx],
-            k[:, :, hf:],
-            v[:, :, hf:],
+            k[:, :, hf:].transpose(0, 2, 1, 3),
+            v[:, :, hf:].transpose(0, 2, 1, 3),
             cs,
             duo.sink_size,
         )
         new_bufs["k_sink"], new_bufs["v_sink"] = ks, vs
         new_bufs["k_ring"], new_bufs["v_ring"] = kr, vr
-        R = kr.shape[1]
+        R = kr.shape[2]
         q_s = q[:, :, hf * G :]
         if attn_impl == "ref":
-            k_cat = jnp.concatenate([ks[:, : duo.sink_size], kr], axis=1)
-            v_cat = jnp.concatenate([vs[:, : duo.sink_size], vr], axis=1)
+            k_cat = jnp.concatenate([ks[:, :, : duo.sink_size], kr], axis=2)
+            v_cat = jnp.concatenate([vs[:, :, : duo.sink_size], vr], axis=2)
             m_sink = sink_mask(positions, duo.sink_size, duo.sink_size)
             m_ring = ring_mask(
                 positions, R, total_after, cs, duo.sink_size, duo.recent_size
             )
             mask = jnp.concatenate([m_sink, m_ring], axis=1)[None, None]
-            outs.append(masked_attention(q_s, k_cat, v_cat, mask))
+            outs.append(
+                masked_attention(
+                    q_s,
+                    k_cat.transpose(0, 2, 1, 3),
+                    v_cat.transpose(0, 2, 1, 3),
+                    mask,
+                )
+            )
         elif attn_impl == "pallas":
             from ..ops.flash import streaming_cache_attention
 
             outs.append(
                 streaming_cache_attention(
-                    q_s, ks, vs, kr, vr, cs, total_after, positions,
+                    q_s, ks, vs, kr, vr, cs, total_after,
                     duo.sink_size, duo.recent_size,
                 )
             )
@@ -237,11 +258,15 @@ def forward_chunk(
     input_ids: jnp.ndarray,
     n_valid=None,
     attn_impl: str = "ref",
+    full_bucket: int = 0,
 ) -> Tuple[jnp.ndarray, DuoCache]:
     """One forward step over a chunk of tokens with cache update.
 
     input_ids: [B, S] (S static; tail beyond n_valid is padding).
     n_valid: traced scalar count of real tokens in this chunk (default S).
+    full_bucket: static bound on full-cache length after this chunk (see
+    _duo_layer_attention); the engine buckets it so only live cache blocks
+    are touched.
     Returns (hidden_states [B, S, E] post-final-norm, new cache with
     length advanced by n_valid).
     """
@@ -261,7 +286,7 @@ def forward_chunk(
         q = apply_rope(q, cos[None], sin[None])
         k = apply_rope(k, cos[None], sin[None])
         attn_out, new_bufs = _duo_layer_attention(
-            li, q, k, v, cache, cfg, duo, positions, attn_impl
+            li, q, k, v, cache, cfg, duo, positions, attn_impl, full_bucket
         )
         attn_out = attn_out.reshape(B, S, cfg.num_heads * cfg.head_dim)
         x = x + attn_out @ layer["wo"]

@@ -1,0 +1,467 @@
+"""Fused Pallas attention kernels for the duo split KV cache.
+
+TPU-native replacement for the reference's external CUDA attention stack
+(flash-attn, Block-Sparse-Attention, FlashInfer — SURVEY.md §2.5 items 2-4).
+Four entry points, all flash-style online-softmax kernels over the
+statically-shaped cache buffers of cache.DuoCache:
+
+* full-head chunk attention   (prefill; causal over [cache | incoming])
+* full-head decode attention  (one token vs. the live cache prefix)
+* streaming chunk attention   (sink buffer + position-ring buffer)
+* streaming decode attention  (visits only sink + window blocks)
+
+Design points:
+- Scalar-prefetched ``cache length`` drives both the in-kernel masks and
+  the BlockSpec index maps: blocks beyond the live prefix are clamped to
+  the last needed block, so their DMA is elided (same-index fetch reuse),
+  and their compute is skipped with @pl.when. The grid is additionally
+  bounded by a static ``bucket`` chosen by the engine (power-of-2 of the
+  live length), so even the grid overhead scales with the true context.
+- The streaming kernels read the ring buffer directly; visibility is pure
+  position arithmetic (see cache.py docstring), so there is no compress
+  copy anywhere — the reference moves sink+recent data after every chunk
+  (duo_attn/patch/static_kv_cache.py:127-167).
+- GQA: the kernel grid walks query heads; K/V index maps point grouped
+  query heads at their shared KV head, and consecutive grid steps with the
+  same KV block reuse the fetched buffer. Decode packs the G query heads
+  of one KV head as matmul rows instead.
+
+Masks follow ops/attention_ref.py exactly; equivalence is unit-tested
+against it (tests/test_flash.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pick_block(n: int, prefer=(512, 256, 128)) -> int:
+    for b in prefer:
+        if n % b == 0:
+            return b
+    return n
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _bcast_rows(col: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Broadcast a [rows, 1] column across n lanes."""
+    return jax.lax.broadcast_in_dim(col, (col.shape[0], n), (0, 1))
+
+
+class _OnlineSoftmax:
+    """Shared online-softmax accumulation over one (rows, bk) score tile."""
+
+    def __init__(self, m_scr, l_scr, acc_scr, scale):
+        self.m, self.l, self.acc = m_scr, l_scr, acc_scr
+        self.scale = scale
+
+    def init(self):
+        self.m[...] = jnp.full_like(self.m, NEG_INF)
+        self.l[...] = jnp.zeros_like(self.l)
+        self.acc[...] = jnp.zeros_like(self.acc)
+
+    def update(self, q, k, v, mask):
+        """q: [rows, D]; k/v: [bk, D]; mask: [rows, bk] bool."""
+        rows, D = q.shape
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * self.scale
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = self.m[...]  # [rows, LANES]
+        l_prev = self.l[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # [rows, 1]
+        m_next = jnp.maximum(m_prev, _bcast_rows(m_curr, LANES))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - _bcast_rows(m_next[:, :1], s.shape[1]))
+        # rows whose every column is masked contribute nothing
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + _bcast_rows(
+            jnp.sum(p, axis=1, keepdims=True), LANES
+        )
+        self.m[...] = m_next
+        self.l[...] = l_next
+        self.acc[...] = self.acc[...] * alpha[:, :D] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    def finalize(self, o_ref):
+        D = self.acc.shape[-1]
+        l = self.l[...][:, :D]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[...] = (self.acc[...] / l).astype(o_ref.dtype).reshape(o_ref.shape)
+
+
+# ---------------------------------------------------------------------------
+# Full-head attention (causal over [cache | incoming])
+# ---------------------------------------------------------------------------
+
+
+def _full_prefill_kernel(
+    cs_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, bq, bk, n_kv, scale
+):
+    i, j = pl.program_id(2), pl.program_id(3)
+    cs = cs_ref[0]
+    osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
+
+    @pl.when(j == 0)
+    def _():
+        osm.init()
+
+    qpos_hi = cs + (i + 1) * bq - 1  # highest query position in this tile
+
+    @pl.when(j * bk <= qpos_hi)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * bk
+        mask = cols <= cs + i * bq + rows
+        osm.update(q, k, v, mask)
+
+    @pl.when(j == n_kv - 1)
+    def _():
+        osm.finalize(o_ref)
+
+
+def _full_decode_kernel(
+    cs_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, g, bk, n_kv, scale
+):
+    j = pl.program_id(2)
+    cs = cs_ref[0]
+    osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
+
+    @pl.when(j == 0)
+    def _():
+        osm.init()
+
+    @pl.when(j * bk <= cs)
+    def _():
+        q = q_ref[0, 0]  # [G, D]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1) + j * bk
+        mask = cols <= cs
+        osm.update(q, k, v, mask)
+
+    @pl.when(j == n_kv - 1)
+    def _():
+        osm.finalize(o_ref)
+
+
+def full_cache_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cs,
+    *,
+    bucket: int = 0,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+) -> jnp.ndarray:
+    """Attention of incoming chunk queries over the full-head cache.
+
+    q: [B, S, Hq, D] (post-RoPE); k/v: [B, Hkv, T, D] cache buffers that
+    already contain the incoming chunk at [cs, cs+S). cs: traced scalar.
+    bucket: static bound (>= cs+S at runtime) limiting the kernel grid;
+    0 means the whole buffer. Semantics == ops.attention_ref mask
+    ``col <= qpos`` (cached tokens + causal incoming).
+    Returns [B, S, Hq, D].
+    """
+    B, S, Hq, D = q.shape
+    _, Hkv, T, _ = k.shape
+    G = Hq // Hkv
+    scale = 1.0 / (D**0.5)
+    cs = jnp.asarray(cs, jnp.int32).reshape(1)
+
+    if S == 1:
+        bk = block_k or _pick_block(T)
+        span = T if bucket == 0 else min(_round_up(bucket, bk), T)
+        n_kv = max(span // bk, 1)
+        qg = q.reshape(B, Hkv, G, D)
+        grid = (B, Hkv, n_kv)
+
+        def k_idx(b, h, j, cs_ref):
+            return (b, h, jnp.minimum(j, cs_ref[0] // bk), 0)
+
+        out = pl.pallas_call(
+            functools.partial(
+                _full_decode_kernel, g=G, bk=bk, n_kv=n_kv, scale=scale
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, 1, G, D), lambda b, h, j, c: (b, h, 0, 0)),
+                    pl.BlockSpec((1, 1, bk, D), k_idx),
+                    pl.BlockSpec((1, 1, bk, D), k_idx),
+                ],
+                out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, j, c: (b, h, 0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((G, LANES), jnp.float32),
+                    pltpu.VMEM((G, LANES), jnp.float32),
+                    pltpu.VMEM((G, D), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=_interpret(),
+        )(cs, qg, k, v)
+        return out.reshape(B, 1, Hq, D)
+
+    bq = block_q or _pick_block(S, (512, 256, 128))
+    bk = block_k or _pick_block(T)
+    span = T if bucket == 0 else min(_round_up(bucket, bk), T)
+    n_kv = max(span // bk, 1)
+    n_q = S // bq
+    qt = q.transpose(0, 2, 1, 3)  # [B, Hq, S, D]
+    grid = (B, Hq, n_q, n_kv)
+
+    def kv_idx(b, h, i, j, cs_ref):
+        last = jnp.maximum(cs_ref[0] + (i + 1) * bq - 1, 0) // bk
+        return (b, h // G, jnp.minimum(j, jnp.minimum(last, n_kv - 1)), 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _full_prefill_kernel, bq=bq, bk=bk, n_kv=n_kv, scale=scale
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, c: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bk, D), kv_idx),
+                pl.BlockSpec((1, 1, bk, D), kv_idx),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, c: (b, h, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, LANES), jnp.float32),
+                pltpu.VMEM((bq, LANES), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, S, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(cs, qt, k, v)
+    return out.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-head attention (sink buffer + ring buffer)
+# ---------------------------------------------------------------------------
+
+
+def _stream_masks(slot_or_pos, qpos, *, region, cs, t, R, sink, recent):
+    """Visibility per cache.py: sink region by slot; ring region by the
+    position-arithmetic g formula."""
+    if region == "sink":
+        slot = slot_or_pos
+        return (slot < sink) & (slot <= qpos)
+    g = t - 1 - ((t - 1 - slot_or_pos) % R)
+    window_lo = jnp.maximum(cs - recent, 0)
+    return (g >= sink) & (g >= window_lo) & (g <= qpos) & (g >= 0)
+
+
+def _stream_kernel(
+    sc_ref, q_ref, ks_ref, vs_ref, kr_ref, vr_ref, o_ref,
+    m_scr, l_scr, acc_scr,
+    *, rows, bq, bks, bk, n_sink, n_vis, n_ring, R, sink, recent, scale, decode,
+):
+    """Grid minor dim j walks n_sink sink blocks then n_vis ring blocks.
+
+    For decode (rows = G query heads of one KV head), ring blocks are a
+    window starting at base = floor(window_lo/bk) mod n_ring; for prefill
+    (rows = bq query positions) every ring block is visited. Sink blocks
+    have their own width bks (the sink buffer can be smaller than a ring
+    block).
+    """
+    i, j = pl.program_id(2), pl.program_id(3)
+    cs, t = sc_ref[0], sc_ref[1]
+    osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
+
+    @pl.when(j == 0)
+    def _():
+        osm.init()
+
+    if decode:
+        qpos = jnp.full((rows, 1), 0, jnp.int32) + cs
+    else:
+        qpos = (
+            cs + i * bq + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        )
+
+    @pl.when(j < n_sink)
+    def _():
+        slot = jax.lax.broadcasted_iota(jnp.int32, (rows, bks), 1) + j * bks
+        mask = _stream_masks(
+            slot, qpos, region="sink", cs=cs, t=t, R=R, sink=sink, recent=recent
+        )
+        osm.update(q_ref[0, 0], ks_ref[0, 0], vs_ref[0, 0], mask)
+
+    @pl.when(j >= n_sink)
+    def _():
+        if decode:
+            base = (jnp.maximum(cs - recent, 0) // bk) % n_ring
+            blk = (base + (j - n_sink)) % n_ring
+        else:
+            blk = j - n_sink
+        slot = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1) + blk * bk
+        mask = _stream_masks(
+            slot, qpos, region="ring", cs=cs, t=t, R=R, sink=sink, recent=recent
+        )
+        osm.update(q_ref[0, 0], kr_ref[0, 0], vr_ref[0, 0], mask)
+
+    @pl.when(j == n_sink + n_vis - 1)
+    def _():
+        osm.finalize(o_ref)
+
+
+def streaming_cache_attention(
+    q: jnp.ndarray,
+    k_sink: jnp.ndarray,
+    v_sink: jnp.ndarray,
+    k_ring: jnp.ndarray,
+    v_ring: jnp.ndarray,
+    cs,
+    total_after,
+    sink_size: int,
+    recent_size: int,
+    *,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+) -> jnp.ndarray:
+    """Streaming-head attention over sink + ring buffers.
+
+    q: [B, S, Hsq, D]; k/v_sink: [B, Hs, sink+C, D]; k/v_ring: [B, Hs, R, D].
+    Buffers already contain the incoming chunk. Decode (S==1) visits only
+    ceil(recent/bk)+2 ring blocks; prefill visits all of them.
+    Returns [B, S, Hsq, D].
+    """
+    B, S, Hsq, D = q.shape
+    _, Hs, R, _ = k_ring.shape
+    G = Hsq // Hs
+    scale = 1.0 / (D**0.5)
+    decode = S == 1
+
+    bk = block_k or _pick_block(R)
+    n_ring = R // bk
+    # Sink blocks get their own width: big enough to cover [0, sink) but
+    # never exceeding the sink buffer.
+    Ts = k_sink.shape[2]
+    if sink_size > 0:
+        bks = min(max(_round_up(sink_size, 128), 128), Ts)
+        n_sink = -(-sink_size // bks)
+        assert n_sink * bks <= Ts, (
+            f"sink buffer too small: {Ts} < {n_sink * bks}; "
+            "prefill_chunk_size must be >= 128"
+        )
+    else:
+        bks, n_sink = 128, 0
+
+    scalars = jnp.stack(
+        [jnp.asarray(cs, jnp.int32), jnp.asarray(total_after, jnp.int32)]
+    )
+
+    if decode:
+        n_vis = min(recent_size // bk + 2, n_ring)
+        rows = G
+        qg = q.reshape(B, Hs, G, D)
+        grid = (B, Hs, 1, n_sink + n_vis)
+
+        def sink_idx(b, h, i, j, sc):
+            return (b, h, jnp.minimum(j, max(n_sink - 1, 0)), 0)
+
+        def ring_idx(b, h, i, j, sc):
+            base = (jnp.maximum(sc[0] - recent_size, 0) // bk) % n_ring
+            t = jnp.clip(j - n_sink, 0, n_vis - 1)
+            return (b, h, (base + t) % n_ring, 0)
+
+        q_spec = pl.BlockSpec((1, 1, G, D), lambda b, h, i, j, sc: (b, h, 0, 0))
+        o_spec = pl.BlockSpec((1, 1, G, D), lambda b, h, i, j, sc: (b, h, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((B, Hs, G, D), q.dtype)
+        q_in = qg
+    else:
+        bq = block_q or _pick_block(S, (256, 128))
+        n_vis = n_ring
+        rows = bq
+        n_q = S // bq
+        qt = q.transpose(0, 2, 1, 3)
+        grid = (B, Hsq, n_q, n_sink + n_vis)
+
+        def sink_idx(b, h, i, j, sc):
+            return (b, h // G, jnp.minimum(j, max(n_sink - 1, 0)), 0)
+
+        def ring_idx(b, h, i, j, sc):
+            return (b, h // G, jnp.clip(j - n_sink, 0, n_ring - 1), 0)
+
+        q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, sc: (b, h, i, 0))
+        o_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, sc: (b, h, i, 0))
+        out_shape = jax.ShapeDtypeStruct((B, Hsq, S, D), q.dtype)
+        q_in = qt
+
+    out = pl.pallas_call(
+        functools.partial(
+            _stream_kernel,
+            rows=rows,
+            bq=(1 if decode else rows),
+            bks=bks,
+            bk=bk,
+            n_sink=n_sink,
+            n_vis=n_vis,
+            n_ring=n_ring,
+            R=R,
+            sink=sink_size,
+            recent=recent_size,
+            scale=scale,
+            decode=decode,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                q_spec,
+                pl.BlockSpec((1, 1, bks, D), sink_idx),
+                pl.BlockSpec((1, 1, bks, D), sink_idx),
+                pl.BlockSpec((1, 1, bk, D), ring_idx),
+                pl.BlockSpec((1, 1, bk, D), ring_idx),
+            ],
+            out_specs=o_spec,
+            scratch_shapes=[
+                pltpu.VMEM((rows, LANES), jnp.float32),
+                pltpu.VMEM((rows, LANES), jnp.float32),
+                pltpu.VMEM((rows, D), jnp.float32),
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(scalars, q_in, k_sink, v_sink, k_ring, v_ring)
+
+    if decode:
+        return out.reshape(B, 1, Hsq, D)
+    return out.transpose(0, 2, 1, 3)

@@ -27,9 +27,9 @@ def run_sim(chunks, sink, recent, chunk_cap):
     chunk, check the mask-visible position set for every query."""
     B, H, D = 1, 1, 4
     R = recent + chunk_cap
-    k_sink = jnp.zeros((B, sink + chunk_cap, H, D))
+    k_sink = jnp.zeros((B, H, sink + chunk_cap, D))
     v_sink = jnp.zeros_like(k_sink)
-    k_ring = jnp.zeros((B, R, H, D))
+    k_ring = jnp.zeros((B, H, R, D))
     v_ring = jnp.zeros_like(k_ring)
 
     total = 0
@@ -37,8 +37,8 @@ def run_sim(chunks, sink, recent, chunk_cap):
         S = min(chunk_len, chunk_cap)
         # encode global position into channel 0; pad tail with -1 sentinels
         positions = np.arange(total, total + chunk_cap)
-        vals = np.zeros((B, chunk_cap, H, D))
-        vals[0, :, 0, 0] = np.where(np.arange(chunk_cap) < S, positions, -999)
+        vals = np.zeros((B, H, chunk_cap, D))
+        vals[0, 0, :, 0] = np.where(np.arange(chunk_cap) < S, positions, -999)
         vals = jnp.asarray(vals)
         k_sink, v_sink, k_ring, v_ring = write_streaming(
             k_sink, v_sink, k_ring, v_ring, vals, vals, jnp.asarray(total), sink
@@ -53,8 +53,8 @@ def run_sim(chunks, sink, recent, chunk_cap):
             ring_mask(qpos, R, total_after, jnp.asarray(cs), sink, recent)
         )
         g_ring = np.asarray(ring_slot_positions(R, total_after))
-        sink_contents = np.asarray(k_sink)[0, :, 0, 0]
-        ring_contents = np.asarray(k_ring)[0, :, 0, 0]
+        sink_contents = np.asarray(k_sink)[0, 0, :, 0]
+        ring_contents = np.asarray(k_ring)[0, 0, :, 0]
 
         for qi in range(S):
             qp = cs + qi
