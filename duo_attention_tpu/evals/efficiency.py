@@ -1,0 +1,133 @@
+"""Efficiency benchmarks: prefill latency, decode latency, KV memory.
+
+Counterpart of eval/efficiency/benchmark_{dynamic,static}.py + utils.py
+(SURVEY.md §2.3): chunked-prefill latency over the full context, decode
+latency averaged over N steps after warmup with the context held fixed,
+KV-cache byte accounting, results appended to benchmark_result.txt.
+TPU deltas: value-fetch fences instead of CUDA events; the cache length is
+pinned per measurement window instead of evict_last (functional caches
+have no in-place eviction to undo).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache import kv_memory_bytes
+from ..config import PRESETS, DuoConfig
+from ..engine import DuoEngine
+from ..models import llama
+from ..patterns import (
+    load_attn_pattern,
+    num_full_kv_heads_per_layer,
+    sparsify_attention_heads,
+)
+from ..utils import device_memory_stats, fence
+
+
+def build_engine(args):
+    cfg = PRESETS[args.model]
+    if args.num_layers:
+        cfg = dataclasses.replace(cfg, num_layers=args.num_layers)
+    sink, recent = args.sink, args.recent
+    if args.attn_pattern:
+        heads, sink, recent = load_attn_pattern(args.attn_pattern)
+        heads, _ = sparsify_attention_heads(heads, sparsity=args.sparsity)
+        nf = num_full_kv_heads_per_layer(heads)[: cfg.num_layers]
+    else:
+        nf = (round(cfg.num_kv_heads * (1 - args.sparsity)),) * cfg.num_layers
+    duo = DuoConfig(
+        sink_size=sink,
+        recent_size=recent,
+        num_full_kv_heads=tuple(nf),
+        max_cache_size=args.ctx_len,
+        prefill_chunk_size=args.prefill_chunk,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return DuoEngine(params, cfg, duo), cfg, duo
+
+
+def bench_prefill(engine, ctx_len, runs=3):
+    """Chunked prefill latency over ctx_len tokens (median of runs)."""
+    ids = np.zeros((1, ctx_len), np.int32)
+    # warm compile for every bucket
+    cache, logits = engine.prefill(ids)
+    fence(logits)
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        cache, logits = engine.prefill(ids)
+        fence(logits)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), kv_memory_bytes(cache)
+
+
+def bench_decode(engine, ctx_len, steps=64, warmup=8):
+    """Steady-state decode latency with the cache pre-advanced to ctx_len."""
+    cache = engine.new_cache()
+    cache = cache._replace(
+        length=jnp.asarray(ctx_len - 3 * steps - warmup, jnp.int32)
+    )
+    token = jnp.zeros((1,), jnp.int32)
+    bucket = engine.bucket_for(ctx_len)
+    tokens, cache = engine._decode_fn(bucket, warmup)(engine.params, cache, token)
+    fence(tokens)
+    fn = engine._decode_fn(bucket, steps)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tokens, cache = fn(engine.params, cache, tokens[:, -1])
+        fence(tokens)
+        best = min(best, time.perf_counter() - t0)
+    return best / steps, kv_memory_bytes(cache)
+
+
+def main():
+    p = argparse.ArgumentParser(description="efficiency benchmark")
+    p.add_argument("--model", default="Llama-3-8B-Instruct-Gradient-1048k")
+    p.add_argument("--num-layers", type=int, default=8)
+    p.add_argument("--attn-pattern", default=None)
+    p.add_argument("--sparsity", type=float, default=0.5)
+    p.add_argument("--sink", type=int, default=64)
+    p.add_argument("--recent", type=int, default=256)
+    p.add_argument("--ctx-len", type=int, default=131072)
+    p.add_argument("--prefill-chunk", type=int, default=8192)
+    p.add_argument("--decode-steps", type=int, default=64)
+    p.add_argument("--skip-prefill", action="store_true")
+    p.add_argument("--output", default="benchmark_result.txt")
+    args = p.parse_args()
+
+    engine, cfg, duo = build_engine(args)
+    lines = [
+        f"model={args.model} layers={cfg.num_layers} ctx={args.ctx_len} "
+        f"sparsity={args.sparsity} sink={duo.sink_size} recent={duo.recent_size} "
+        f"chunk={duo.prefill_chunk_size}"
+    ]
+    if not args.skip_prefill:
+        t, kv = bench_prefill(engine, args.ctx_len)
+        lines.append(
+            f"prefill: {t:.3f} s total, "
+            f"{args.ctx_len / t:.0f} tok/s, kv_bytes={kv}"
+        )
+    t, kv = bench_decode(engine, args.ctx_len, args.decode_steps)
+    lines.append(f"decode: {t * 1e3:.2f} ms/token, {1 / t:.1f} tok/s, kv_bytes={kv}")
+    mem = device_memory_stats()
+    for d, s in mem.items():
+        if s:
+            lines.append(
+                f"device {d}: peak_bytes_in_use={s.get('peak_bytes_in_use')}"
+            )
+    report = "\n".join(lines)
+    print(report)
+    with open(args.output, "a") as f:
+        f.write(report + "\n\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,281 @@
+"""Needle-in-a-haystack (NIAH) evaluation harness.
+
+Capability counterpart of eval/needle/needle_in_haystack.py (+visualize.py):
+context-length x depth grid, chunked prefill through the engine, optional
+per-token "decoding simulation", greedy generation, unigram-ROUGE x10 cell
+scores, per-cell JSON results with resume-by-existence, and a heatmap
+visualization. Re-designed around the functional DuoEngine instead of HF
+model patching; haystack text comes from a user directory of .txt files or
+a deterministic procedural generator (this build ships no third-party
+corpora).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..engine import DuoEngine
+from ..tokenizer import decode_ids, encode_ids, get_tokenizer
+from .metrics import niah_score, word_overlap_score
+
+DEFAULT_NEEDLE = (
+    "\nThe one absolutely vital fact to remember is that the silver otter "
+    "keeps its treasure under the old stone bridge in Harmony Creek.\n"
+)
+DEFAULT_QUESTION = (
+    "\nQuestion: Where does the silver otter keep its treasure? Answer:"
+)
+DEFAULT_ANSWER = "under the old stone bridge in Harmony Creek"
+
+_WORDS = (
+    "river meadow lantern harvest compass timber orchard saddle copper "
+    "bellows anchor thicket granite whisper barley summit hollow ember "
+    "drift pasture mill crossing ledger harbor spindle furrow"
+).split()
+
+
+def procedural_haystack(num_chars: int, seed: int = 0) -> str:
+    """Deterministic filler prose (stands in for a text corpus)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    n = 0
+    while n < num_chars:
+        k = rng.integers(8, 16)
+        words = rng.choice(_WORDS, size=k)
+        sent = " ".join(words).capitalize() + ". "
+        out.append(sent)
+        n += len(sent)
+    return "".join(out)[:num_chars]
+
+
+def load_haystack(haystack_dir: Optional[str], num_chars: int) -> str:
+    if haystack_dir and os.path.isdir(haystack_dir):
+        texts = []
+        n = 0
+        for path in sorted(glob.glob(os.path.join(haystack_dir, "*.txt"))):
+            with open(path, encoding="utf-8", errors="ignore") as f:
+                t = f.read()
+            texts.append(t)
+            n += len(t)
+            if n >= num_chars:
+                break
+        if texts:
+            text = "".join(texts)
+            while len(text) < num_chars:  # repeat if corpus too small
+                text += text
+            return text[:num_chars]
+    return procedural_haystack(num_chars)
+
+
+@dataclass
+class NIAHConfig:
+    context_lengths: List[int] = field(
+        default_factory=lambda: [1024, 2048, 4096, 8192]
+    )
+    depth_percents: List[float] = field(
+        default_factory=lambda: list(np.linspace(0, 100, 5))
+    )
+    needle: str = DEFAULT_NEEDLE
+    question: str = DEFAULT_QUESTION
+    answer: str = DEFAULT_ANSWER
+    gen_tokens: int = 50
+    simulation_tokens: int = 0  # feed the last N tokens one-by-one (decode
+    # path exercise, reference :269-299)
+    output_dir: str = "niah_results"
+    resume: bool = True
+    haystack_dir: Optional[str] = None
+
+
+class NIAHTester:
+    """Grid evaluator. Engine and tokenizer are injected (no HF patching)."""
+
+    def __init__(self, engine: DuoEngine, tokenizer, config: NIAHConfig):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.cfg = config
+        os.makedirs(config.output_dir, exist_ok=True)
+
+    def _cell_path(self, ctx_len: int, depth: float) -> str:
+        return os.path.join(
+            self.cfg.output_dir, f"ctx_{ctx_len}_depth_{int(round(depth))}.json"
+        )
+
+    def build_prompt_ids(self, ctx_len: int, depth_percent: float) -> List[int]:
+        """Token-budgeted haystack with the needle inserted at depth%."""
+        # ~4 chars/token is a safe overestimate for byte/BPE tokenizers
+        text = load_haystack(self.cfg.haystack_dir, ctx_len * 6)
+        hay_ids = encode_ids(self.tokenizer, text)
+        q_ids = encode_ids(self.tokenizer, self.cfg.question)
+        needle_ids = encode_ids(self.tokenizer, self.cfg.needle)
+        budget = ctx_len - len(q_ids) - len(needle_ids)
+        hay_ids = hay_ids[:budget]
+        insert_at = int(len(hay_ids) * depth_percent / 100.0)
+        return hay_ids[:insert_at] + needle_ids + hay_ids[insert_at:] + q_ids
+
+    def run_cell(self, ctx_len: int, depth_percent: float) -> dict:
+        path = self._cell_path(ctx_len, depth_percent)
+        if self.cfg.resume and os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+
+        ids = self.build_prompt_ids(ctx_len, depth_percent)
+        prompt = np.asarray(ids, dtype=np.int32)[None, :]
+        t0 = time.perf_counter()
+        if self.cfg.simulation_tokens > 0:
+            sim = min(self.cfg.simulation_tokens, prompt.shape[1] - 1)
+            cache, _ = self.engine.prefill(prompt[:, :-sim])
+            pos = prompt.shape[1] - sim
+            import jax.numpy as jnp
+
+            for t in range(sim):
+                _, cache = self.engine.decode_step(
+                    cache, jnp.asarray(prompt[:, pos + t - 1]), pos + t
+                )
+            # generate from the simulated state
+            fn = self.engine._decode_fn(
+                self.engine.bucket_for(prompt.shape[1] + self.cfg.gen_tokens),
+                self.cfg.gen_tokens,
+            )
+            import jax.numpy as jnp2
+
+            tokens, cache = fn(
+                self.engine.params, cache, jnp2.asarray(prompt[:, -1])
+            )
+            tokens = np.asarray(tokens)
+        else:
+            tokens, _ = self.engine.generate(prompt, self.cfg.gen_tokens)
+        latency = time.perf_counter() - t0
+
+        response = decode_ids(self.tokenizer, tokens[0])
+        result = {
+            "context_length": ctx_len,
+            "depth_percent": depth_percent,
+            "response": response,
+            "needle_answer": self.cfg.answer,
+            "score": niah_score(response, self.cfg.answer),
+            "word_overlap": word_overlap_score(response, self.cfg.answer),
+            "latency_s": latency,
+        }
+        with open(path, "w") as f:
+            json.dump(result, f, indent=2)
+        return result
+
+    def run(self) -> List[dict]:
+        results = []
+        for ctx_len in self.cfg.context_lengths:
+            for depth in self.cfg.depth_percents:
+                r = self.run_cell(ctx_len, depth)
+                print(
+                    f"[niah] ctx={ctx_len} depth={depth:.0f}% "
+                    f"score={r['score']:.2f} overlap={r['word_overlap']:.2f}"
+                )
+                results.append(r)
+        return results
+
+
+def visualize(results_dir: str, output_path: Optional[str] = None):
+    """Depth x context heatmap of word-overlap scores
+    (counterpart of eval/needle/visualize.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cells = []
+    for path in sorted(glob.glob(os.path.join(results_dir, "ctx_*.json"))):
+        with open(path) as f:
+            cells.append(json.load(f))
+    if not cells:
+        raise FileNotFoundError(f"no results in {results_dir}")
+    ctxs = sorted({c["context_length"] for c in cells})
+    depths = sorted({c["depth_percent"] for c in cells})
+    grid = np.full((len(depths), len(ctxs)), np.nan)
+    for c in cells:
+        grid[depths.index(c["depth_percent"]), ctxs.index(c["context_length"])] = c[
+            "word_overlap"
+        ]
+    fig, ax = plt.subplots(figsize=(10, 6))
+    im = ax.imshow(grid, aspect="auto", cmap="RdYlGn", vmin=0, vmax=1)
+    ax.set_xticks(range(len(ctxs)), [f"{c//1000}k" if c >= 1000 else str(c) for c in ctxs])
+    ax.set_yticks(range(len(depths)), [f"{d:.0f}%" for d in depths])
+    ax.set_xlabel("Context Length")
+    ax.set_ylabel("Needle Depth")
+    ax.set_title("Needle-in-a-Haystack retrieval accuracy")
+    fig.colorbar(im)
+    out = output_path or os.path.join(results_dir, "heatmap.png")
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def main():
+    import argparse
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import PRESETS, DuoConfig
+    from ..models import llama
+    from ..patterns import (
+        load_attn_pattern,
+        num_full_kv_heads_per_layer,
+        sparsify_attention_heads,
+    )
+
+    p = argparse.ArgumentParser(description="NIAH evaluation")
+    p.add_argument("--model", default="tiny-gqa", help="preset name or HF dir")
+    p.add_argument("--attn-pattern", default=None, help="pattern dir (TSV+config)")
+    p.add_argument("--sparsity", type=float, default=0.5)
+    p.add_argument("--sink", type=int, default=64)
+    p.add_argument("--recent", type=int, default=256)
+    p.add_argument("--prefill-chunk", type=int, default=8192)
+    p.add_argument("--max-cache", type=int, default=65536)
+    p.add_argument("--ctx", type=int, nargs="+", default=[1024, 2048, 4096])
+    p.add_argument("--depths", type=int, default=5)
+    p.add_argument("--tokenizer", default="byte")
+    p.add_argument("--haystack-dir", default=None)
+    p.add_argument("--output-dir", default="niah_results")
+    p.add_argument("--simulation-tokens", type=int, default=0)
+    p.add_argument("--visualize", action="store_true")
+    args = p.parse_args()
+
+    cfg = PRESETS[args.model]
+    sink, recent = args.sink, args.recent
+    if args.attn_pattern:
+        heads, sink, recent = load_attn_pattern(args.attn_pattern)
+        heads, _ = sparsify_attention_heads(heads, sparsity=args.sparsity)
+        nf = num_full_kv_heads_per_layer(heads)[: cfg.num_layers]
+    else:
+        nf = (round(cfg.num_kv_heads * (1 - args.sparsity)),) * cfg.num_layers
+    duo = DuoConfig(
+        sink_size=sink,
+        recent_size=recent,
+        num_full_kv_heads=tuple(nf),
+        max_cache_size=args.max_cache,
+        prefill_chunk_size=args.prefill_chunk,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    engine = DuoEngine(params, cfg, duo)
+    tokenizer = get_tokenizer(args.tokenizer)
+    config = NIAHConfig(
+        context_lengths=args.ctx,
+        depth_percents=list(np.linspace(0, 100, args.depths)),
+        output_dir=args.output_dir,
+        haystack_dir=args.haystack_dir,
+        simulation_tokens=args.simulation_tokens,
+    )
+    NIAHTester(engine, tokenizer, config).run()
+    if args.visualize:
+        print("heatmap:", visualize(args.output_dir))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Eval suite tests: metrics correctness + harness end-to-end on tiny models."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from duo_attention_tpu.config import DuoConfig, TINY_LLAMA
+from duo_attention_tpu.engine import DuoEngine
+from duo_attention_tpu.evals import metrics as M
+from duo_attention_tpu.evals.longbench import (
+    ALL_TASKS,
+    TASK_MAXGEN,
+    TASK_METRIC,
+    TASK_PROMPTS,
+    score_file,
+    score_file_e,
+    truncate_middle,
+)
+from duo_attention_tpu.evals.niah import (
+    NIAHConfig,
+    NIAHTester,
+    procedural_haystack,
+    visualize,
+)
+from duo_attention_tpu.models import llama
+from duo_attention_tpu.tokenizer import ByteTokenizer
+
+
+def test_metrics_basic():
+    # "the" is stripped by SQuAD normalization -> perfect match
+    assert M.qa_f1_score("the cat sat", "cat sat") == 1.0
+    assert M.qa_f1_score("big cat sat", "cat sat") == pytest.approx(
+        2 * (2 / 3) * 1.0 / (2 / 3 + 1.0)
+    )
+    assert M.rouge_n("a b c", "a b c") == 1.0
+    assert M.rouge_l("a x b y c", "a b c") > 0.5
+    assert M.count_score("there are 7 paragraphs", "7") == 1.0
+    assert M.count_score("maybe 3 or 4", "7") == 0.0
+    assert M.retrieval_score("Paragraph 12", "Paragraph 12") == 1.0
+    assert M.classification_score(
+        "Location", "Location", all_classes=["Location", "Person"]
+    ) == 1.0
+    assert M.code_sim_score("x = 1", "x = 1") == 1.0
+    assert M.niah_score("treasure under the old stone bridge",
+                        "under the old stone bridge in Harmony Creek") > 5.0
+
+
+def test_truncate_middle():
+    ids = list(range(100))
+    out = truncate_middle(ids, 10)
+    assert len(out) == 10
+    assert out[:5] == [0, 1, 2, 3, 4] and out[-5:] == [95, 96, 97, 98, 99]
+    assert truncate_middle(ids, 200) == ids
+
+
+def test_task_registry_complete():
+    assert len(ALL_TASKS) == 21
+    for t in ALL_TASKS:
+        assert t in TASK_MAXGEN and t in TASK_METRIC and t in TASK_PROMPTS
+
+
+def test_longbench_scoring(tmp_path):
+    path = tmp_path / "hotpotqa.jsonl"
+    recs = [
+        {"pred": "Paris", "answers": ["Paris"], "all_classes": [], "length": 3000},
+        {"pred": "no idea", "answers": ["London"], "all_classes": [], "length": 9000},
+    ]
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    assert score_file("hotpotqa", str(path)) == 50.0
+    e = score_file_e("hotpotqa", str(path))
+    assert e["0-4k"] == 100.0 and e["8k+"] == 0.0
+
+
+def test_procedural_haystack_deterministic():
+    a = procedural_haystack(1000, seed=3)
+    b = procedural_haystack(1000, seed=3)
+    assert a == b and len(a) == 1000
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    cfg = TINY_LLAMA
+    duo = DuoConfig(
+        sink_size=16,
+        recent_size=32,
+        num_full_kv_heads=(cfg.num_kv_heads,) * cfg.num_layers,
+        max_cache_size=2048,
+        prefill_chunk_size=256,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    return DuoEngine(params, cfg, duo, dtype=jnp.float32)
+
+
+def test_niah_harness_end_to_end(tiny_engine, tmp_path):
+    cfg = NIAHConfig(
+        context_lengths=[256, 400],
+        depth_percents=[0.0, 50.0, 100.0],
+        gen_tokens=4,
+        output_dir=str(tmp_path),
+    )
+    tester = NIAHTester(tiny_engine, ByteTokenizer(), cfg)
+    results = tester.run()
+    assert len(results) == 6
+    # resume: second run hits the JSON cache (no new compute)
+    again = tester.run()
+    assert [r["response"] for r in again] == [r["response"] for r in results]
+    # visualization renders
+    out = visualize(str(tmp_path))
+    assert os.path.exists(out)
+
+
+def test_niah_prompt_depth_placement(tiny_engine):
+    cfg = NIAHConfig(output_dir="/tmp/niah_unused")
+    tester = NIAHTester(tiny_engine, ByteTokenizer(), cfg)
+    ids0 = tester.build_prompt_ids(512, 0.0)
+    ids100 = tester.build_prompt_ids(512, 100.0)
+    assert len(ids0) <= 512 and len(ids100) <= 512
+    tok = ByteTokenizer()
+    assert "silver otter" in tok.decode(ids0[:200])
+    assert "silver otter" not in tok.decode(ids100[:200])
+
+
+def test_longbench_predict_offline(tiny_engine, tmp_path):
+    from duo_attention_tpu.evals.longbench import predict_task
+
+    data = [
+        {"context": "Alice lives in Wonderland. " * 20,
+         "input": "Where does Alice live?",
+         "answers": ["Wonderland"], "all_classes": [], "length": 500},
+    ]
+    out = tmp_path / "hotpotqa.jsonl"
+    predict_task(
+        tiny_engine, ByteTokenizer(), "hotpotqa", data,
+        max_prompt_len=400, out_path=str(out), simulation_tokens=5,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 1 and isinstance(recs[0]["pred"], str)
+    s = score_file("hotpotqa", str(out))
+    assert 0.0 <= s <= 100.0
