@@ -313,6 +313,103 @@ def all_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Two-way forward (gate training)
+# ---------------------------------------------------------------------------
+
+
+def forward_two_way(
+    params: Params,
+    gates: jnp.ndarray,
+    cfg: ModelConfig,
+    sink_size: int,
+    recent_size: int,
+    input_ids: jnp.ndarray,
+    seq_axis: Optional[str] = None,
+    block_k: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher/student two-stream forward for gate identification.
+
+    Semantics follow llama_duo_attention_forward_two_way
+    (duo_attn/patch/llama.py:41-143): the teacher stream uses full causal
+    attention with no gradient; the student stream computes Λ-masked
+    streaming attention on its own hidden states and mixes per query head
+    with the *teacher's* attention output: (1-α)·stream + α·stop_grad(full).
+    Only ``gates`` [num_layers, num_kv_heads] receives gradients.
+
+    With ``seq_axis`` set (inside shard_map), input_ids are a sequence
+    shard and attention runs under Ulysses all-to-all resharding
+    (parallel/ulysses.py), mirroring the reference's UlyssesAttention wrap
+    (duo_attn/patch/llama.py:492-501).
+
+    Returns (teacher_hidden, student_hidden), both post-final-norm
+    [B, S_local, E].
+    """
+    from ..ops.blockwise import blockwise_attention, causal_mask_fn, lambda_mask_fn
+
+    B, S = input_ids.shape
+    if seq_axis is not None:
+        shard_idx = jax.lax.axis_index(seq_axis)
+        offset = shard_idx * S
+    else:
+        offset = 0
+    positions = offset + jnp.arange(S, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(rope_inv_freq(cfg), positions)
+    lam = lambda_mask_fn(sink_size, recent_size)
+
+    def full_attn(q, k, v):
+        return blockwise_attention(q, k, v, causal_mask_fn, block_k=block_k)
+
+    def stream_attn(q, k, v):
+        return blockwise_attention(q, k, v, lam, block_k=block_k)
+
+    if seq_axis is not None:
+        from ..parallel.ulysses import ulysses_attention
+
+        full_fn = lambda q, k, v: ulysses_attention(full_attn, q, k, v, seq_axis)
+        stream_fn = lambda q, k, v: ulysses_attention(stream_attn, q, k, v, seq_axis)
+    else:
+        full_fn, stream_fn = full_attn, stream_attn
+
+    G = cfg.num_kv_groups
+    x = params["embed"][input_ids]
+    ht = x  # teacher
+    hs = x  # student
+
+    for li, layer in enumerate(params["layers"]):
+        alpha = jnp.clip(gates[li], 0.0, 1.0).astype(jnp.float32)
+        # per-query-head mix weights [1, 1, Hq, 1]
+        alpha_q = jnp.repeat(alpha, G).reshape(1, 1, cfg.num_heads, 1)
+
+        # --- teacher (no grad; does not depend on gates) ---
+        nt = rms_norm(ht, layer["input_norm"], cfg.rms_norm_eps)
+        qt, kt, vt = _qkv(layer, nt, cfg)
+        qt = apply_rope(qt, cos[None], sin[None])
+        kt = apply_rope(kt, cos[None], sin[None])
+        full_out = full_fn(qt, kt, vt)  # [B, S, Hq, D]
+        full_out = jax.lax.stop_gradient(full_out)
+        ht = ht + full_out.reshape(B, S, -1) @ layer["wo"]
+        ht = ht + _mlp(layer, rms_norm(ht, layer["post_norm"], cfg.rms_norm_eps))
+        ht = jax.lax.stop_gradient(ht)
+
+        # --- student ---
+        ns = rms_norm(hs, layer["input_norm"], cfg.rms_norm_eps)
+        qs, ks, vs = _qkv(layer, ns, cfg)
+        qs = apply_rope(qs, cos[None], sin[None])
+        ks = apply_rope(ks, cos[None], sin[None])
+        stream_out = stream_fn(qs, ks, vs)
+        mixed = (1.0 - alpha_q) * stream_out.astype(jnp.float32) + (
+            alpha_q * full_out.astype(jnp.float32)
+        )
+        mixed = mixed.astype(stream_out.dtype)
+        hs = hs + mixed.reshape(B, S, -1) @ layer["wo"]
+        hs = hs + _mlp(layer, rms_norm(hs, layer["post_norm"], cfg.rms_norm_eps))
+
+    ht = rms_norm(ht, params["final_norm"], cfg.rms_norm_eps)
+    hs = rms_norm(hs, params["final_norm"], cfg.rms_norm_eps)
+    return jax.lax.stop_gradient(ht), hs
+
+
+# ---------------------------------------------------------------------------
 # Uncached forward (training / teacher-forcing oracle)
 # ---------------------------------------------------------------------------
 
