@@ -87,6 +87,10 @@ def init_cache(
 ) -> DuoCache:
     """Preallocate all per-layer buffers (reference: static_kv_cache.py:52-99)."""
     assert len(duo.num_full_kv_heads) == cfg.num_layers
+    assert duo.max_cache_size % 128 == 0, (
+        f"max_cache_size must be a multiple of 128 (got {duo.max_cache_size}) "
+        "so Pallas kv blocks tile the buffer; round it up"
+    )
     R = ring_capacity(duo)
     C = duo.prefill_chunk_size
     D = cfg.head_dim
@@ -202,10 +206,80 @@ def ring_mask(
     return (g >= sink_size) & (g >= window_lo) & (g <= qp) & (g >= 0)
 
 
-def kv_memory_bytes(cache: DuoCache) -> int:
+def kv_memory_bytes(cache) -> int:
     """KV-cache byte accountant (reference: static_kv_cache.py:299-315)."""
     total = 0
-    for field in ("k_full", "v_full", "k_sink", "v_sink", "k_ring", "v_ring"):
-        for arr in getattr(cache, field):
+    for field in cache._fields:
+        bufs = getattr(cache, field)
+        if not isinstance(bufs, tuple):
+            continue
+        for arr in bufs:
             total += arr.size * arr.dtype.itemsize
     return total
+
+
+# ---------------------------------------------------------------------------
+# INT4-quantized variant (W8A8KV4 serving path)
+# ---------------------------------------------------------------------------
+
+
+class DuoCacheQ4(NamedTuple):
+    """Like DuoCache but the full-head cache is INT4-packed.
+
+    Counterpart of DuoAttentionStaticINT4KVCache (demo/int4_kv.py:115-492).
+    The streaming (sink+ring) caches stay bf16: they are O(sink+recent)
+    per layer, so quantizing them saves ~nothing while the full cache —
+    the component that scales with context — drops 4x. Packed layout and
+    scale semantics: ops/quant.quantize_int4.
+
+    k/v_full_q: [B, Hf_l, max_size, D//2] uint8
+    k/v_full_s: [B, Hf_l, 2, max_size] bf16 (scale row 0, zero-point row 1)
+    """
+
+    k_full_q: Tuple[jnp.ndarray, ...]
+    v_full_q: Tuple[jnp.ndarray, ...]
+    k_full_s: Tuple[jnp.ndarray, ...]
+    v_full_s: Tuple[jnp.ndarray, ...]
+    k_sink: Tuple[jnp.ndarray, ...]
+    v_sink: Tuple[jnp.ndarray, ...]
+    k_ring: Tuple[jnp.ndarray, ...]
+    v_ring: Tuple[jnp.ndarray, ...]
+    length: jnp.ndarray
+
+
+def init_cache_q4(
+    cfg: ModelConfig, duo: DuoConfig, batch_size: int, dtype=jnp.bfloat16
+) -> DuoCacheQ4:
+    assert cfg.head_dim % 2 == 0
+    base = init_cache(cfg, duo, batch_size, dtype)
+    T = duo.max_cache_size
+    Dh = cfg.head_dim // 2
+    kq, vq, ks, vs = [], [], [], []
+    for hf in duo.num_full_kv_heads:
+        kq.append(jnp.zeros((batch_size, hf, T, Dh), jnp.uint8))
+        vq.append(jnp.zeros((batch_size, hf, T, Dh), jnp.uint8))
+        ks.append(jnp.zeros((batch_size, hf, 2, T), jnp.bfloat16))
+        vs.append(jnp.zeros((batch_size, hf, 2, T), jnp.bfloat16))
+    return DuoCacheQ4(
+        k_full_q=tuple(kq),
+        v_full_q=tuple(vq),
+        k_full_s=tuple(ks),
+        v_full_s=tuple(vs),
+        k_sink=base.k_sink,
+        v_sink=base.v_sink,
+        k_ring=base.k_ring,
+        v_ring=base.v_ring,
+        length=base.length,
+    )
+
+
+def write_full_q4(buf_q, buf_s, incoming, start):
+    """Quantize incoming [B, Hf, S, D] and append at ``start``."""
+    from .ops.quant import quantize_int4
+
+    packed, scales = quantize_int4(incoming)  # [B,H,S,D/2], [B,H,2,S]
+    buf_q = jax.lax.dynamic_update_slice(buf_q, packed, (0, 0, start, 0))
+    buf_s = jax.lax.dynamic_update_slice(
+        buf_s, scales.astype(buf_s.dtype), (0, 0, 0, start)
+    )
+    return buf_q, buf_s

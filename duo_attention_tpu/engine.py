@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cache import DuoCache, init_cache
+from .cache import DuoCache, init_cache, init_cache_q4
 from .config import DuoConfig, ModelConfig
 from .models import llama
 
@@ -47,6 +47,7 @@ class DuoEngine:
         batch_size: int = 1,
         dtype=jnp.bfloat16,
         attn_impl: str = "auto",
+        kv_quant: str = "none",
     ):
         self.params = params
         self.cfg = cfg
@@ -56,6 +57,8 @@ class DuoEngine:
         if attn_impl == "auto":
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "ref"
         self.attn_impl = attn_impl
+        assert kv_quant in ("none", "int4")
+        self.kv_quant = kv_quant
         self._chunk_fns = {}
         self._decode_fns = {}
 
@@ -89,7 +92,9 @@ class DuoEngine:
             )
         return self._decode_fns[key]
 
-    def new_cache(self) -> DuoCache:
+    def new_cache(self):
+        if self.kv_quant == "int4":
+            return init_cache_q4(self.cfg, self.duo, self.batch_size, self.dtype)
         return init_cache(self.cfg, self.duo, self.batch_size, self.dtype)
 
     def bucket_for(self, length: int) -> int:

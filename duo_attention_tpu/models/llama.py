@@ -27,10 +27,12 @@ import jax.numpy as jnp
 
 from ..cache import (
     DuoCache,
+    DuoCacheQ4,
     full_mask,
     ring_mask,
     sink_mask,
     write_full,
+    write_full_q4,
     write_streaming,
 )
 from ..config import DuoConfig, ModelConfig
@@ -100,12 +102,26 @@ def lm_head_weight(params: Params) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _proj(layer: Params, x: jnp.ndarray, name: str) -> jnp.ndarray:
+    """bf16 or W8A8 projection, chosen by which params are present.
+
+    W8A8: per-token dynamic activation int8 + per-channel weight int8 on
+    the MXU (QServe linear semantics, demo/w8a8kv4_llama.py:39-96)."""
+    if name + "_q8" in layer:
+        from ..ops.quant import w8a8_linear
+
+        return w8a8_linear(
+            x, layer[name + "_q8"], layer[name + "_scale"], out_dtype=x.dtype
+        )
+    return x @ layer[name]
+
+
 def _qkv(layer: Params, x: jnp.ndarray, cfg: ModelConfig):
     B, S, _ = x.shape
     D = cfg.head_dim
-    q = x @ layer["wq"]
-    k = x @ layer["wk"]
-    v = x @ layer["wv"]
+    q = _proj(layer, x, "wq")
+    k = _proj(layer, x, "wk")
+    v = _proj(layer, x, "wv")
     if "bq" in layer:
         q = q + layer["bq"]
         k = k + layer["bk"]
@@ -117,7 +133,11 @@ def _qkv(layer: Params, x: jnp.ndarray, cfg: ModelConfig):
 
 
 def _mlp(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return (jax.nn.silu(x @ layer["w_gate"]) * (x @ layer["w_up"])) @ layer["w_down"]
+    return _proj(
+        layer,
+        jax.nn.silu(_proj(layer, x, "w_gate")) * _proj(layer, x, "w_up"),
+        "w_down",
+    )
 
 
 def _duo_layer_attention(
@@ -149,35 +169,67 @@ def _duo_layer_attention(
     outs = []
     new_bufs = {}
 
+    quantized = isinstance(cache, DuoCacheQ4)
     if hf > 0:
         # incoming in cache layout [B, H, S, D]
         k_in = k[:, :, :hf].transpose(0, 2, 1, 3)
         v_in = v[:, :, :hf].transpose(0, 2, 1, 3)
-        kf = write_full(cache.k_full[layer_idx], k_in, cs)
-        vf = write_full(cache.v_full[layer_idx], v_in, cs)
-        new_bufs["k_full"], new_bufs["v_full"] = kf, vf
         q_f = q[:, :, : hf * G]
-        if attn_impl == "ref":
-            mask = full_mask(positions, kf.shape[2])[None, None]
-            outs.append(
-                masked_attention(
-                    q_f,
-                    kf.transpose(0, 2, 1, 3),
-                    vf.transpose(0, 2, 1, 3),
-                    mask,
-                )
+        if quantized:
+            kq, ks_ = write_full_q4(
+                cache.k_full_q[layer_idx], cache.k_full_s[layer_idx], k_in, cs
             )
-        elif attn_impl == "pallas":
-            from ..ops.flash import full_cache_attention
+            vq, vs_ = write_full_q4(
+                cache.v_full_q[layer_idx], cache.v_full_s[layer_idx], v_in, cs
+            )
+            new_bufs["k_full_q"], new_bufs["k_full_s"] = kq, ks_
+            new_bufs["v_full_q"], new_bufs["v_full_s"] = vq, vs_
+            if attn_impl == "ref":
+                from ..ops.quant import dequantize_int4
 
-            # bucket bounds the kernel grid; the buffer is passed whole so
-            # no live-prefix copy is materialized.
-            outs.append(full_cache_attention(q_f, kf, vf, cs, bucket=full_bucket))
+                kf = dequantize_int4(kq, ks_).astype(q.dtype)
+                vf = dequantize_int4(vq, vs_).astype(q.dtype)
+                mask = full_mask(positions, kf.shape[2])[None, None]
+                outs.append(
+                    masked_attention(
+                        q_f, kf.transpose(0, 2, 1, 3), vf.transpose(0, 2, 1, 3),
+                        mask,
+                    )
+                )
+            elif attn_impl == "pallas":
+                from ..ops.flash import full_cache_attention_q4
+
+                outs.append(
+                    full_cache_attention_q4(
+                        q_f, kq, ks_, vq, vs_, cs, bucket=full_bucket
+                    )
+                )
+            else:
+                raise ValueError(f"unknown attn_impl {attn_impl}")
         else:
-            raise ValueError(f"unknown attn_impl {attn_impl}")
-    else:
-        new_bufs["k_full"] = cache.k_full[layer_idx]
-        new_bufs["v_full"] = cache.v_full[layer_idx]
+            kf = write_full(cache.k_full[layer_idx], k_in, cs)
+            vf = write_full(cache.v_full[layer_idx], v_in, cs)
+            new_bufs["k_full"], new_bufs["v_full"] = kf, vf
+            if attn_impl == "ref":
+                mask = full_mask(positions, kf.shape[2])[None, None]
+                outs.append(
+                    masked_attention(
+                        q_f,
+                        kf.transpose(0, 2, 1, 3),
+                        vf.transpose(0, 2, 1, 3),
+                        mask,
+                    )
+                )
+            elif attn_impl == "pallas":
+                from ..ops.flash import full_cache_attention
+
+                # bucket bounds the kernel grid; the buffer is passed whole
+                # so no live-prefix copy is materialized.
+                outs.append(
+                    full_cache_attention(q_f, kf, vf, cs, bucket=full_bucket)
+                )
+            else:
+                raise ValueError(f"unknown attn_impl {attn_impl}")
 
     if hs > 0:
         ks, vs, kr, vr = write_streaming(
@@ -221,28 +273,18 @@ def _duo_layer_attention(
             )
         else:
             raise ValueError(f"unknown attn_impl {attn_impl}")
-    else:
-        for name in ("k_sink", "v_sink", "k_ring", "v_ring"):
-            new_bufs[name] = getattr(cache, name)[layer_idx]
-
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
     return out, new_bufs
 
 
-def _replace_layer(cache: DuoCache, layer_idx: int, new_bufs: dict) -> DuoCache:
-    def upd(field):
+def _replace_layer(cache, layer_idx: int, new_bufs: dict):
+    """Swap one layer's buffers (works for DuoCache and DuoCacheQ4)."""
+    updates = {}
+    for field, buf in new_bufs.items():
         bufs = list(getattr(cache, field))
-        bufs[layer_idx] = new_bufs[field]
-        return tuple(bufs)
-
-    return cache._replace(
-        k_full=upd("k_full"),
-        v_full=upd("v_full"),
-        k_sink=upd("k_sink"),
-        v_sink=upd("v_sink"),
-        k_ring=upd("k_ring"),
-        v_ring=upd("v_ring"),
-    )
+        bufs[layer_idx] = buf
+        updates[field] = tuple(bufs)
+    return cache._replace(**updates)
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +331,7 @@ def forward_chunk(
             li, q, k, v, cache, cfg, duo, positions, attn_impl, full_bucket
         )
         attn_out = attn_out.reshape(B, S, cfg.num_heads * cfg.head_dim)
-        x = x + attn_out @ layer["wo"]
+        x = x + _proj(layer, attn_out, "wo")
         h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
         x = x + _mlp(layer, h)
         cache = _replace_layer(cache, li, new_bufs)

@@ -102,6 +102,58 @@ class _OnlineSoftmax:
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
 
+    def update_q4(self, q, kp, ks, vp, vs, mask):
+        """INT4 variant: dequantization folded into score/output rescaling.
+
+        q: [rows, D] (bf16); kp/vp: [bk, D//2] uint8 packed; ks/vs: [2, bk]
+        (scale row 0, zero-point row 1). Math: with K = Kq*s_t + z_t,
+          scores[i,t] = s_t * (q_i . Kq_t) + z_t * sum_d(q_i,d)
+          out = (p * s_t) @ Vq + (p . z_t) * 1_D
+        so the integer tensors go straight to the MXU and no dequantized
+        block is ever materialized (cf. demo/int4_kv.py:373-436).
+        """
+        rows, D = q.shape
+        bk = kp.shape[0]
+        half = kp.shape[1]
+        # Mosaic supports neither uint8->bf16 casts nor uint8 shifts;
+        # widen to int32 first and do the bit ops there.
+        kp32 = kp.astype(jnp.int32)
+        lo = (kp32 & 0xF).astype(q.dtype)
+        hi = ((kp32 >> 4) & 0xF).astype(q.dtype)
+        kq = jnp.concatenate([lo, hi], axis=-1)  # [bk, D]
+        s_int = jax.lax.dot_general(
+            q, kq, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        k_scale = ks[0:1, :].astype(jnp.float32)  # [1, bk]
+        k_zp = ks[1:2, :].astype(jnp.float32)
+        q_rowsum = jnp.sum(q.astype(jnp.float32), axis=-1, keepdims=True)
+        s = (s_int * k_scale + q_rowsum * k_zp) * self.scale
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = self.m[...]
+        l_prev = self.l[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, _bcast_rows(m_curr, LANES))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - _bcast_rows(m_next[:, :1], s.shape[1]))
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + _bcast_rows(
+            jnp.sum(p, axis=1, keepdims=True), LANES
+        )
+        self.m[...] = m_next
+        self.l[...] = l_next
+
+        vp32 = vp.astype(jnp.int32)
+        vlo = (vp32 & 0xF).astype(q.dtype)
+        vhi = ((vp32 >> 4) & 0xF).astype(q.dtype)
+        vq = jnp.concatenate([vlo, vhi], axis=-1)  # [bk, D]
+        v_scale = vs[0:1, :].astype(jnp.float32)
+        v_zp = vs[1:2, :].astype(jnp.float32)
+        p_scaled = (p * v_scale).astype(q.dtype)
+        contrib = jax.lax.dot(p_scaled, vq, preferred_element_type=jnp.float32)
+        zp_term = jnp.sum(p * v_zp, axis=1, keepdims=True)  # [rows, 1]
+        self.acc[...] = self.acc[...] * alpha[:, :D] + contrib + zp_term
+
     def finalize(self, o_ref):
         D = self.acc.shape[-1]
         l = self.l[...][:, :D]
@@ -266,6 +318,178 @@ def full_cache_attention(
         ),
         interpret=_interpret(),
     )(cs, qt, k, v)
+    return out.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Full-head attention over an INT4-quantized cache
+# ---------------------------------------------------------------------------
+
+
+def _full_prefill_q4_kernel(
+    cs_ref, q_ref, kp_ref, ks_ref, vp_ref, vs_ref, o_ref,
+    m_scr, l_scr, acc_scr, *, bq, bk, n_kv, scale
+):
+    i, j = pl.program_id(2), pl.program_id(3)
+    cs = cs_ref[0]
+    osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
+
+    @pl.when(j == 0)
+    def _():
+        osm.init()
+
+    qpos_hi = cs + (i + 1) * bq - 1
+
+    @pl.when(j * bk <= qpos_hi)
+    def _():
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * bk
+        mask = cols <= cs + i * bq + rows_i
+        osm.update_q4(
+            q_ref[0, 0], kp_ref[0, 0], ks_ref[0, 0], vp_ref[0, 0], vs_ref[0, 0],
+            mask,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _():
+        osm.finalize(o_ref)
+
+
+def _full_decode_q4_kernel(
+    cs_ref, q_ref, kp_ref, ks_ref, vp_ref, vs_ref, o_ref,
+    m_scr, l_scr, acc_scr, *, g, bk, n_kv, scale
+):
+    j = pl.program_id(2)
+    cs = cs_ref[0]
+    osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
+
+    @pl.when(j == 0)
+    def _():
+        osm.init()
+
+    @pl.when(j * bk <= cs)
+    def _():
+        cols = jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1) + j * bk
+        mask = cols <= cs
+        osm.update_q4(
+            q_ref[0, 0], kp_ref[0, 0], ks_ref[0, 0], vp_ref[0, 0], vs_ref[0, 0],
+            mask,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _():
+        osm.finalize(o_ref)
+
+
+def full_cache_attention_q4(
+    q: jnp.ndarray,
+    k_packed: jnp.ndarray,
+    k_scales: jnp.ndarray,
+    v_packed: jnp.ndarray,
+    v_scales: jnp.ndarray,
+    cs,
+    *,
+    bucket: int = 0,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+) -> jnp.ndarray:
+    """INT4-KV version of full_cache_attention; dequant fused in-kernel.
+
+    q: [B, S, Hq, D]; k/v_packed: [B, Hkv, T, D//2] uint8;
+    k/v_scales: [B, Hkv, 2, T] (scale, zero-point rows).
+    """
+    B, S, Hq, D = q.shape
+    _, Hkv, T, _ = k_packed.shape
+    G = Hq // Hkv
+    scale = 1.0 / (D**0.5)
+    cs = jnp.asarray(cs, jnp.int32).reshape(1)
+    Dh = D // 2
+
+    if S == 1:
+        bk = block_k or _pick_block(T)
+        span = T if bucket == 0 else min(_round_up(bucket, bk), T)
+        n_kv = max(span // bk, 1)
+        qg = q.reshape(B, Hkv, G, D)
+        grid = (B, Hkv, n_kv)
+
+        def kv_idx(b, h, j, c):
+            return (b, h, jnp.minimum(j, c[0] // bk), 0)
+
+        def sc_idx(b, h, j, c):
+            return (b, h, 0, jnp.minimum(j, c[0] // bk))
+
+        out = pl.pallas_call(
+            functools.partial(
+                _full_decode_q4_kernel, g=G, bk=bk, n_kv=n_kv, scale=scale
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, 1, G, D), lambda b, h, j, c: (b, h, 0, 0)),
+                    pl.BlockSpec((1, 1, bk, Dh), kv_idx),
+                    pl.BlockSpec((1, 1, 2, bk), sc_idx),
+                    pl.BlockSpec((1, 1, bk, Dh), kv_idx),
+                    pl.BlockSpec((1, 1, 2, bk), sc_idx),
+                ],
+                out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, j, c: (b, h, 0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((G, LANES), jnp.float32),
+                    pltpu.VMEM((G, LANES), jnp.float32),
+                    pltpu.VMEM((G, D), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=_interpret(),
+        )(cs, qg, k_packed, k_scales, v_packed, v_scales)
+        return out.reshape(B, 1, Hq, D)
+
+    bq = block_q or _pick_block(S, (512, 256, 128))
+    bk = block_k or _pick_block(T)
+    span = T if bucket == 0 else min(_round_up(bucket, bk), T)
+    n_kv = max(span // bk, 1)
+    n_q = S // bq
+    qt = q.transpose(0, 2, 1, 3)
+    grid = (B, Hq, n_q, n_kv)
+
+    def kv_idx(b, h, i, j, c):
+        last = jnp.maximum(c[0] + (i + 1) * bq - 1, 0) // bk
+        return (b, h // G, jnp.minimum(j, jnp.minimum(last, n_kv - 1)), 0)
+
+    def sc_idx(b, h, i, j, c):
+        last = jnp.maximum(c[0] + (i + 1) * bq - 1, 0) // bk
+        return (b, h // G, 0, jnp.minimum(j, jnp.minimum(last, n_kv - 1)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _full_prefill_q4_kernel, bq=bq, bk=bk, n_kv=n_kv, scale=scale
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, c: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bk, Dh), kv_idx),
+                pl.BlockSpec((1, 1, 2, bk), sc_idx),
+                pl.BlockSpec((1, 1, bk, Dh), kv_idx),
+                pl.BlockSpec((1, 1, 2, bk), sc_idx),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, c: (b, h, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, LANES), jnp.float32),
+                pltpu.VMEM((bq, LANES), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, S, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(cs, qt, k_packed, k_scales, v_packed, v_scales)
     return out.transpose(0, 2, 1, 3)
 
 

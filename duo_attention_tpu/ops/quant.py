@@ -1,0 +1,137 @@
+"""Quantization ops: asymmetric per-token-group INT4 KV + W8A8 linears.
+
+TPU-native counterpart of the reference's native quantization stack
+(SURVEY.md §2.5 items 1 and 5):
+
+* INT4 KV (demo/quantize_int4.cu semantics): asymmetric min/max per group
+  of 128 channels (head_dim=128 → one group per (token, head), i.e. the
+  per-channel case in BASELINE.json), scale=(max-min)/15, zero_point=min,
+  two nibbles packed per uint8. Packing here is plane-wise — byte d holds
+  channel d (low nibble) and channel d+D/2 (high nibble) — so the Pallas
+  decode kernel unpacks with two vector ops and a lane-concat instead of
+  an interleave shuffle. Dequantization is FUSED into the attention
+  kernels via score/output rescaling (ops/flash.py), never materialized
+  to an fp16 buffer (the reference dequantizes into preallocated fp16
+  buffers first, demo/int4_kv.py:373-436 — we skip that round trip).
+
+* W8A8 (QServe W8A8OF16LinearDynamicInputScale semantics,
+  demo/w8a8kv4_llama.py:39-96): INT8 weights with per-out-channel scales,
+  INT8 activations with per-token dynamic scales, int8xint8->int32 via
+  lax.dot_general (MXU-native), fp scale epilogue. RMSNormGeneral /
+  SiluAndMulQuant fusions are expressed as jnp chains and left to XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# INT4 KV
+# ---------------------------------------------------------------------------
+
+
+def quantize_int4(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize [..., T, D] to packed nibbles + per-(...,T) scale/zp.
+
+    Returns (packed [..., T, D//2] uint8, scales [..., 2, T] float32-ish
+    stored in x.dtype-compatible bf16): scales[..., 0, t]=scale,
+    scales[..., 1, t]=zero_point.
+    """
+    D = x.shape[-1]
+    assert D % 2 == 0
+    xf = x.astype(jnp.float32)
+    mn = jnp.min(xf, axis=-1, keepdims=True)
+    mx = jnp.max(xf, axis=-1, keepdims=True)
+    scale = (mx - mn) / 15.0 + 1e-8
+    q = jnp.clip(jnp.round((xf - mn) / scale), 0, 15).astype(jnp.uint8)
+    lo = q[..., : D // 2]
+    hi = q[..., D // 2 :]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    scales = jnp.stack(
+        [scale[..., 0], mn[..., 0]], axis=-2
+    )  # [..., 2, T]
+    return packed, scales.astype(jnp.bfloat16)
+
+
+def dequantize_int4(packed: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of quantize_int4 (reference oracle / tests). Returns f32."""
+    lo = (packed & 0xF).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=-1)  # [..., T, D]
+    scale = scales[..., 0, :, None].astype(jnp.float32)
+    zp = scales[..., 1, :, None].astype(jnp.float32)
+    return q * scale + zp
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Unpack nibbles WITHOUT scaling: [..., D//2] u8 -> [..., D] (uint8)."""
+    lo = packed & 0xF
+    hi = packed >> 4
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# W8A8
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-out-channel symmetric int8. w: [in, out] -> (w_q8, scale [out])."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+    scale = absmax / 127.0 + 1e-12
+    wq = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return wq, scale[0].astype(jnp.float32)
+
+
+def quantize_act_per_token(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic per-token symmetric int8. x: [..., E] -> (x_q8, scale [..., 1])."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = absmax / 127.0 + 1e-12
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def int8_matmul(xq: jnp.ndarray, x_scale, wq: jnp.ndarray, w_scale,
+                out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(xq [..., in] int8) @ (wq [in, out] int8) with fp scale epilogue.
+
+    Accumulates in int32 on the MXU (v5e+ native int8 matmul path)."""
+    acc = jax.lax.dot_general(
+        xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
+
+
+def w8a8_linear(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
+                out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Full dynamic-activation W8A8 linear (norm->quant fusion left to XLA)."""
+    xq, xs = quantize_act_per_token(x)
+    return int8_matmul(xq, xs, wq, w_scale, out_dtype)
+
+
+def quantize_layer_weights(layer: Dict, keys=("wq", "wk", "wv", "wo",
+                                              "w_gate", "w_up", "w_down")) -> Dict:
+    """Replace selected bf16 weights with (int8, scale) pairs."""
+    out = dict(layer)
+    for k in keys:
+        if k in layer:
+            wq, ws = quantize_weight_int8(layer[k])
+            out[k + "_q8"] = wq
+            out[k + "_scale"] = ws
+            del out[k]
+    return out
+
+
+def quantize_params_w8a8(params: Dict) -> Dict:
+    """Quantize all decoder-layer projections to W8A8; embed/norms/lm_head
+    stay high precision (reference keeps the fp16 head,
+    demo/w8a8kv4_llama.py:478-483)."""
+    out = dict(params)
+    out["layers"] = tuple(quantize_layer_weights(l) for l in params["layers"])
+    return out

@@ -1,0 +1,129 @@
+"""Quantization tests: INT4 KV round-trip + fused-dequant kernels, W8A8."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from duo_attention_tpu.cache import full_mask, init_cache_q4
+from duo_attention_tpu.config import DuoConfig, TINY_GQA
+from duo_attention_tpu.models import llama
+from duo_attention_tpu.ops.attention_ref import masked_attention
+from duo_attention_tpu.ops.flash import full_cache_attention_q4
+from duo_attention_tpu.ops.quant import (
+    dequantize_int4,
+    int8_matmul,
+    quantize_act_per_token,
+    quantize_int4,
+    quantize_params_w8a8,
+    quantize_weight_int8,
+    w8a8_linear,
+)
+
+
+def test_int4_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 64, 32), jnp.float32)
+    packed, scales = quantize_int4(x)
+    assert packed.shape == (2, 3, 64, 16) and packed.dtype == jnp.uint8
+    assert scales.shape == (2, 3, 2, 64)
+    x2 = dequantize_int4(packed, scales)
+    # max error bounded by half a quantization step per (token, head) group
+    step = (x.max(-1) - x.min(-1)) / 15.0
+    err = jnp.max(jnp.abs(x - x2), axis=-1)
+    assert bool(jnp.all(err <= step * 0.51 + 2e-2))
+
+
+def test_int4_extremes_and_constants():
+    x = jnp.ones((1, 1, 4, 8), jnp.float32) * 3.5  # constant group
+    packed, scales = quantize_int4(x)
+    x2 = dequantize_int4(packed, scales)
+    np.testing.assert_allclose(np.asarray(x2), 3.5, atol=2e-2)
+
+
+@pytest.mark.parametrize("S,cs_val", [(64, 100), (1, 300), (1, 0)])
+def test_q4_attention_matches_dequant_oracle(S, cs_val):
+    B, Hq, Hkv, D, T = 1, 4, 2, 32, 512
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(keys[0], (B, S, Hq, D), jnp.float32)
+    k = jax.random.normal(keys[1], (B, Hkv, T, D), jnp.float32)
+    v = jax.random.normal(keys[2], (B, Hkv, T, D), jnp.float32)
+    kq, ks = quantize_int4(k)
+    vq, vs = quantize_int4(v)
+    cs = jnp.asarray(cs_val, jnp.int32)
+    got = full_cache_attention_q4(q, kq, ks, vq, vs, cs)
+
+    kd = dequantize_int4(kq, ks)
+    vd = dequantize_int4(vq, vs)
+    positions = cs + jnp.arange(S, dtype=jnp.int32)
+    mask = full_mask(positions, T)[None, None]
+    want = masked_attention(
+        q, kd.transpose(0, 2, 1, 3), vd.transpose(0, 2, 1, 3), mask
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+
+
+def test_w8a8_matmul_accuracy():
+    x = jax.random.normal(jax.random.PRNGKey(2), (16, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(3), (64, 32), jnp.float32) * 0.1
+    wq, ws = quantize_weight_int8(w)
+    y = w8a8_linear(x, wq, ws, out_dtype=jnp.float32)
+    want = x @ w
+    rel = jnp.linalg.norm(y - want) / jnp.linalg.norm(want)
+    assert float(rel) < 0.03
+
+
+def test_w8a8_model_forward_close():
+    cfg = TINY_GQA
+    duo = DuoConfig(
+        sink_size=8, recent_size=16, num_full_kv_heads=(2,) * cfg.num_layers,
+        max_cache_size=256, prefill_chunk_size=32,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(4), jnp.float32)
+    qparams = quantize_params_w8a8(params)
+    from duo_attention_tpu.cache import init_cache
+
+    ids = jax.random.randint(jax.random.PRNGKey(5), (1, 32), 0, cfg.vocab_size)
+    h1, _ = llama.forward_chunk(params, cfg, duo, init_cache(cfg, duo, 1, jnp.float32), ids)
+    h2, _ = llama.forward_chunk(qparams, cfg, duo, init_cache(cfg, duo, 1, jnp.float32), ids)
+    rel = jnp.linalg.norm(h1 - h2) / jnp.linalg.norm(h1)
+    assert float(rel) < 0.12, float(rel)
+
+
+def test_engine_int4_kv_generates_and_matches_loosely():
+    from duo_attention_tpu.engine import DuoEngine
+
+    cfg = TINY_GQA
+    duo = DuoConfig(
+        sink_size=8, recent_size=16, num_full_kv_heads=(2,) * cfg.num_layers,
+        max_cache_size=512, prefill_chunk_size=64,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(6), jnp.float32)
+    ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 100))
+
+    eng_fp = DuoEngine(params, cfg, duo, dtype=jnp.float32)
+    eng_q4 = DuoEngine(params, cfg, duo, dtype=jnp.float32, kv_quant="int4")
+    cache_fp, logits_fp = eng_fp.prefill(ids)
+    cache_q4, logits_q4 = eng_q4.prefill(ids)
+    assert int(cache_q4.length) == 100
+    # same top-5 candidate set is too strict for random weights; compare
+    # logit vectors loosely
+    rel = np.linalg.norm(np.asarray(logits_fp) - np.asarray(logits_q4)) / (
+        np.linalg.norm(np.asarray(logits_fp)) + 1e-9
+    )
+    assert rel < 0.15, rel
+    toks, cache = eng_q4.generate(ids, max_new_tokens=6)
+    assert toks.shape == (1, 6) and int(cache.length) == 106
+
+
+def test_kv_memory_int4_is_4x_smaller():
+    from duo_attention_tpu.cache import init_cache, kv_memory_bytes
+
+    cfg = TINY_GQA
+    duo = DuoConfig(
+        sink_size=8, recent_size=16, num_full_kv_heads=(4,) * cfg.num_layers,
+        max_cache_size=4096, prefill_chunk_size=64,
+    )
+    fp = kv_memory_bytes(init_cache(cfg, duo, 1, jnp.bfloat16))
+    q4 = kv_memory_bytes(init_cache_q4(cfg, duo, 1, jnp.bfloat16))
+    # full cache dominates at max_cache >> sink+recent+chunk: expect ~3-4x
+    assert fp / q4 > 2.5, (fp, q4)
