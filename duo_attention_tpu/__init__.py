@@ -27,6 +27,7 @@ from .patterns import (
 )
 from .cache import DuoCache, init_cache, kv_memory_bytes
 from .engine import DuoEngine
+from .models.convert import load_hf_model, reorder_params
 
 __version__ = "0.1.0"
 
@@ -43,4 +44,6 @@ __all__ = [
     "init_cache",
     "kv_memory_bytes",
     "DuoEngine",
+    "load_hf_model",
+    "reorder_params",
 ]
