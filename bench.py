@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(num_layers, ctx_len, sparsity, chunk=8192):
+def build(num_layers, ctx_len, sparsity, chunk=8192, w8a8=False, kv_quant="none"):
     from duo_attention_tpu.config import LLAMA3_8B_1048K, DuoConfig
     from duo_attention_tpu.engine import DuoEngine
     from duo_attention_tpu.models import llama
@@ -39,7 +39,13 @@ def build(num_layers, ctx_len, sparsity, chunk=8192):
         prefill_chunk_size=chunk,
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
-    eng = DuoEngine(params, cfg, duo, batch_size=1, dtype=jnp.bfloat16)
+    if w8a8:
+        from duo_attention_tpu.ops.quant import quantize_params_w8a8
+
+        params = quantize_params_w8a8(params)
+    eng = DuoEngine(
+        params, cfg, duo, batch_size=1, dtype=jnp.bfloat16, kv_quant=kv_quant
+    )
     return eng
 
 
@@ -77,10 +83,15 @@ def bench_decode(eng, ctx_len, steps=64, warmup=8):
 
 
 def main():
+    """North-star comparison (BASELINE.json): the duo W8A8KV4 serving
+    config (sparsity 0.5, INT8 weight/activation linears, INT4 full-head
+    KV with in-kernel dequant — the reference demo path,
+    demo/run_duo_w8a8kv4.py) against the full-attention FP16/bf16
+    baseline at the same context length."""
     ctx_len = 131072
     num_layers = 8
 
-    eng_duo = build(num_layers, ctx_len, sparsity=0.5)
+    eng_duo = build(num_layers, ctx_len, sparsity=0.5, w8a8=True, kv_quant="int4")
     duo_tps, duo_kv = bench_decode(eng_duo, ctx_len)
     del eng_duo
 
@@ -89,14 +100,14 @@ def main():
     del eng_full
 
     result = {
-        "metric": f"decode_tokens_per_s_{ctx_len//1024}k_ctx_duo0.5",
+        "metric": f"decode_tokens_per_s_{ctx_len//1024}k_ctx_w8a8kv4_duo0.5",
         "value": round(duo_tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(duo_tps / full_tps, 3),
     }
     print(
-        f"[bench] duo: {duo_tps:.1f} tok/s, KV {duo_kv/1e9:.2f} GB | "
-        f"full: {full_tps:.1f} tok/s, KV {full_kv/1e9:.2f} GB | "
+        f"[bench] duo W8A8KV4: {duo_tps:.1f} tok/s, KV {duo_kv/1e9:.2f} GB | "
+        f"full bf16: {full_tps:.1f} tok/s, KV {full_kv/1e9:.2f} GB | "
         f"speedup {duo_tps/full_tps:.2f}x, KV ratio {full_kv/duo_kv:.2f}x",
         file=sys.stderr,
     )

@@ -40,17 +40,59 @@ from ..patterns import (
 # ---------------------------------------------------------------------------
 
 
+_ST_DTYPES = {
+    "F64": np.float64,
+    "F32": np.float32,
+    "F16": np.float16,
+    "I64": np.int64,
+    "I32": np.int32,
+    "I8": np.int8,
+    "U8": np.uint8,
+    "BOOL": np.bool_,
+}
+
+
+def _st_dtype(name: str):
+    if name == "BF16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(_ST_DTYPES[name])
+
+
+def mmap_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Zero-copy safetensors reader: tensors are views into an mmap.
+
+    Format: u64le header length, JSON header {name: {dtype, shape,
+    data_offsets}}, then the data blob. Views stay valid for the life of
+    the returned dict (the mmap is kept alive by the arrays' base). The
+    native layout engine (native/checkpoint_ops.cc) reads straight from
+    these views, so conversion does one pass: page cache -> transposed
+    destination buffer.
+    """
+    blob = np.memmap(path, dtype=np.uint8, mode="r")
+    n = int(np.frombuffer(blob[:8].tobytes(), dtype="<u8")[0])
+    header = json.loads(blob[8 : 8 + n].tobytes())
+    base = 8 + n
+    out = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        b, e = meta["data_offsets"]
+        dt = _st_dtype(meta["dtype"])
+        arr = blob[base + b : base + e].view(dt)
+        out[name] = arr.reshape(meta["shape"])
+    return out
+
+
 def _load_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
-    """Load every tensor of a sharded HF checkpoint as numpy arrays."""
+    """Load every tensor of a sharded HF checkpoint as numpy arrays
+    (mmap-backed views for safetensors shards)."""
     st_files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
     state = {}
     if st_files:
-        from safetensors import safe_open
-
         for path in st_files:
-            with safe_open(path, framework="np") as f:
-                for name in f.keys():
-                    state[name] = f.get_tensor(name)
+            state.update(mmap_safetensors(path))
         return state
     bin_files = sorted(glob.glob(os.path.join(model_dir, "pytorch_model*.bin")))
     if not bin_files:
@@ -68,6 +110,16 @@ def _to_dtype(x: np.ndarray, dtype):
     import jax.numpy as jnp
 
     return jnp.asarray(x).astype(dtype)
+
+
+def _T(x: np.ndarray) -> np.ndarray:
+    """Transpose via the native multithreaded layout engine when possible
+    (numpy fallback inside), materializing mmap-backed views exactly once."""
+    if isinstance(x, np.ndarray) and x.ndim == 2:
+        from .. import native
+
+        return native.transpose_gather(x)
+    return np.ascontiguousarray(np.asarray(x).T)
 
 
 def params_from_state_dict(
@@ -100,13 +152,13 @@ def params_from_state_dict(
             "post_norm": _to_dtype(
                 get(pre + "post_attention_layernorm.weight"), dtype
             ),
-            "wq": _to_dtype(get(pre + "self_attn.q_proj.weight").T, dtype),
-            "wk": _to_dtype(get(pre + "self_attn.k_proj.weight").T, dtype),
-            "wv": _to_dtype(get(pre + "self_attn.v_proj.weight").T, dtype),
-            "wo": _to_dtype(get(pre + "self_attn.o_proj.weight").T, dtype),
-            "w_gate": _to_dtype(get(pre + "mlp.gate_proj.weight").T, dtype),
-            "w_up": _to_dtype(get(pre + "mlp.up_proj.weight").T, dtype),
-            "w_down": _to_dtype(get(pre + "mlp.down_proj.weight").T, dtype),
+            "wq": _to_dtype(_T(get(pre + "self_attn.q_proj.weight")), dtype),
+            "wk": _to_dtype(_T(get(pre + "self_attn.k_proj.weight")), dtype),
+            "wv": _to_dtype(_T(get(pre + "self_attn.v_proj.weight")), dtype),
+            "wo": _to_dtype(_T(get(pre + "self_attn.o_proj.weight")), dtype),
+            "w_gate": _to_dtype(_T(get(pre + "mlp.gate_proj.weight")), dtype),
+            "w_up": _to_dtype(_T(get(pre + "mlp.up_proj.weight")), dtype),
+            "w_down": _to_dtype(_T(get(pre + "mlp.down_proj.weight")), dtype),
         }
         if cfg.attention_bias:
             layer["bq"] = _to_dtype(get(pre + "self_attn.q_proj.bias"), dtype)
@@ -120,7 +172,7 @@ def params_from_state_dict(
         "final_norm": _to_dtype(get("model.norm.weight"), dtype),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = _to_dtype(get("lm_head.weight").T, dtype)
+        params["lm_head"] = _to_dtype(_T(get("lm_head.weight")), dtype)
     return params
 
 

@@ -31,6 +31,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import DuoConfig, ModelConfig
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (DCN across hosts, ICI within a slice).
+
+    One call replaces the reference's torchrun + NCCL process-group setup
+    (train.py:51-53, scripts/train.sh:14). On Cloud TPU the arguments are
+    auto-detected from the metadata server; pass them explicitly elsewhere.
+    Safe to call when already initialized or in single-process runs.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized / single process
+        if "already initialized" not in str(e).lower():
+            raise
+
+
 def build_mesh(n_devices: Optional[int] = None, data: Optional[int] = None):
     """Build a (data, tensor) mesh over the first n devices."""
     devices = jax.devices()

@@ -44,6 +44,27 @@ def device_time(fn: Callable, *args, iters: int = 1, warmup: int = 1) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+class profile_trace:
+    """Context manager for on-device profiling (reference tracing was
+    ad-hoc CUDA events + allocator history, SURVEY.md §5.1; here one
+    jax.profiler trace captures the XLA/Pallas timeline viewable in
+    TensorBoard / Perfetto).
+
+    Usage: ``with profile_trace("/tmp/trace"): run_step()``
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False
+
+
 def device_memory_stats() -> dict:
     """Per-device memory stats where the backend exposes them."""
     stats = {}
