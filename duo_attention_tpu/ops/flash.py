@@ -76,14 +76,17 @@ class _OnlineSoftmax:
         self.l[...] = jnp.zeros_like(self.l)
         self.acc[...] = jnp.zeros_like(self.acc)
 
-    def update(self, q, k, v, mask):
-        """q: [rows, D]; k/v: [bk, D]; mask: [rows, bk] bool."""
+    def update(self, q, k, v, mask=None):
+        """q: [rows, D]; k/v: [bk, D]; mask: [rows, bk] bool or None for a
+        fully-visible block (skips the mask selects — the dominant interior
+        case during long-context prefill)."""
         rows, D = q.shape
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * self.scale
-        s = jnp.where(mask, s, NEG_INF)
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = self.m[...]  # [rows, LANES]
         l_prev = self.l[...]
@@ -91,8 +94,9 @@ class _OnlineSoftmax:
         m_next = jnp.maximum(m_prev, _bcast_rows(m_curr, LANES))
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - _bcast_rows(m_next[:, :1], s.shape[1]))
-        # rows whose every column is masked contribute nothing
-        p = jnp.where(mask, p, 0.0)
+        if mask is not None:
+            # rows whose every column is masked contribute nothing
+            p = jnp.where(mask, p, 0.0)
         l_next = alpha * l_prev + _bcast_rows(
             jnp.sum(p, axis=1, keepdims=True), LANES
         )
@@ -102,7 +106,7 @@ class _OnlineSoftmax:
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
 
-    def update_q4(self, q, kp, ks, vp, vs, mask):
+    def update_q4(self, q, kp, ks, vp, vs, mask=None):
         """INT4 variant: dequantization folded into score/output rescaling.
 
         q: [rows, D] (bf16); kp/vp: [bk, D//2] uint8 packed; ks/vs: [2, bk]
@@ -128,7 +132,8 @@ class _OnlineSoftmax:
         k_zp = ks[1:2, :].astype(jnp.float32)
         q_rowsum = jnp.sum(q.astype(jnp.float32), axis=-1, keepdims=True)
         s = (s_int * k_scale + q_rowsum * k_zp) * self.scale
-        s = jnp.where(mask, s, NEG_INF)
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = self.m[...]
         l_prev = self.l[...]
@@ -136,7 +141,8 @@ class _OnlineSoftmax:
         m_next = jnp.maximum(m_prev, _bcast_rows(m_curr, LANES))
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - _bcast_rows(m_next[:, :1], s.shape[1]))
-        p = jnp.where(mask, p, 0.0)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
         l_next = alpha * l_prev + _bcast_rows(
             jnp.sum(p, axis=1, keepdims=True), LANES
         )
@@ -178,16 +184,21 @@ def _full_prefill_kernel(
         osm.init()
 
     qpos_hi = cs + (i + 1) * bq - 1  # highest query position in this tile
+    qpos_lo = cs + i * bq  # lowest
+    col_hi = (j + 1) * bk - 1
 
-    @pl.when(j * bk <= qpos_hi)
+    # Fully-visible interior block: no mask needed (dominant case).
+    @pl.when(col_hi <= qpos_lo)
     def _():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
+        osm.update(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0])
+
+    # Diagonal/partial block: causal mask.
+    @pl.when(jnp.logical_and(col_hi > qpos_lo, j * bk <= qpos_hi))
+    def _():
         rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * bk
-        mask = cols <= cs + i * bq + rows
-        osm.update(q, k, v, mask)
+        mask = cols <= qpos_lo + rows
+        osm.update(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], mask)
 
     @pl.when(j == n_kv - 1)
     def _():
@@ -342,12 +353,20 @@ def _full_prefill_q4_kernel(
         osm.init()
 
     qpos_hi = cs + (i + 1) * bq - 1
+    qpos_lo = cs + i * bq
+    col_hi = (j + 1) * bk - 1
 
-    @pl.when(j * bk <= qpos_hi)
+    @pl.when(col_hi <= qpos_lo)
+    def _():
+        osm.update_q4(
+            q_ref[0, 0], kp_ref[0, 0], ks_ref[0, 0], vp_ref[0, 0], vs_ref[0, 0]
+        )
+
+    @pl.when(jnp.logical_and(col_hi > qpos_lo, j * bk <= qpos_hi))
     def _():
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * bk
-        mask = cols <= cs + i * bq + rows_i
+        mask = cols <= qpos_lo + rows_i
         osm.update_q4(
             q_ref[0, 0], kp_ref[0, 0], ks_ref[0, 0], vp_ref[0, 0], vs_ref[0, 0],
             mask,
