@@ -28,6 +28,7 @@ from .patterns import (
 from .cache import DuoCache, init_cache, kv_memory_bytes
 from .engine import DuoEngine
 from .models.convert import load_hf_model, reorder_params
+from .serving import Request, ServingEngine
 
 __version__ = "0.1.0"
 
@@ -46,4 +47,6 @@ __all__ = [
     "DuoEngine",
     "load_hf_model",
     "reorder_params",
+    "Request",
+    "ServingEngine",
 ]

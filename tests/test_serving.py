@@ -1,0 +1,96 @@
+"""Continuous-batching serving engine tests.
+
+Property: serving N requests through the shared batched cache (staggered
+admissions, per-sequence lengths, slot reuse) produces exactly the tokens
+that isolated single-request generation produces (greedy decoding is
+deterministic, so any cross-request contamination shows up immediately).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from duo_attention_tpu.config import DuoConfig, TINY_GQA
+from duo_attention_tpu.engine import DuoEngine
+from duo_attention_tpu.models import llama
+from duo_attention_tpu.serving import Request, ServingEngine
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TINY_GQA
+    duo = DuoConfig(
+        sink_size=8,
+        recent_size=16,
+        num_full_kv_heads=(2, 1, 3),
+        max_cache_size=256,
+        prefill_chunk_size=32,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    return params, cfg, duo
+
+
+def isolated_tokens(params, cfg, duo, prompt, n):
+    eng = DuoEngine(params, cfg, duo, dtype=jnp.float32, attn_impl="ref")
+    toks, _ = eng.generate(prompt[None, :], max_new_tokens=n)
+    return list(map(int, toks[0]))
+
+
+def test_serving_matches_isolated(setup):
+    params, cfg, duo = setup
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, (int(n),)).astype(np.int32)
+        for n in (17, 50, 33, 70)  # mixed: some cross chunk boundaries
+    ]
+    serve = ServingEngine(
+        params, cfg, duo, max_batch_size=2, dtype=jnp.float32, attn_impl="ref"
+    )
+    for i, p in enumerate(prompts):
+        serve.submit(Request(rid=i, prompt_ids=p, max_new_tokens=6))
+    finished = serve.run()
+    assert len(finished) == len(prompts)
+    by_rid = {r.rid: r for r in finished}
+    for i, p in enumerate(prompts):
+        expect = isolated_tokens(params, cfg, duo, p, 6)
+        assert by_rid[i].generated == expect, f"request {i} diverged"
+
+
+def test_serving_stop_tokens_and_slot_reuse(setup):
+    params, cfg, duo = setup
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, cfg.vocab_size, (20,)).astype(np.int32)
+               for _ in range(3)]
+    # find each prompt's 3rd greedy token and use it as that request's stop
+    stops = [isolated_tokens(params, cfg, duo, p, 3)[2] for p in prompts]
+    serve = ServingEngine(
+        params, cfg, duo, max_batch_size=1, dtype=jnp.float32, attn_impl="ref"
+    )
+    for i, (p, s) in enumerate(zip(prompts, stops)):
+        serve.submit(
+            Request(rid=i, prompt_ids=p, max_new_tokens=10,
+                    stop_token_ids=(int(s),))
+        )
+    finished = serve.run()
+    assert len(finished) == 3
+    for r, p, s in zip(sorted(finished, key=lambda r: r.rid), prompts, stops):
+        expect = isolated_tokens(params, cfg, duo, p, 3)[:2]
+        assert r.generated == expect  # stop token trimmed
+
+
+def test_batched_cache_lengths_advance_only_active(setup):
+    params, cfg, duo = setup
+    rng = np.random.default_rng(2)
+    serve = ServingEngine(
+        params, cfg, duo, max_batch_size=3, dtype=jnp.float32, attn_impl="ref"
+    )
+    p = rng.integers(0, cfg.vocab_size, (12,)).astype(np.int32)
+    serve.submit(Request(rid=0, prompt_ids=p, max_new_tokens=4))
+    serve.run()
+    lengths = np.asarray(serve.cache.length)
+    # slot 0 advanced by prompt + decoded tokens - 1 (last token not fed
+    # back), slots 1-2 untouched
+    assert lengths[0] == 12 + 3
+    assert lengths[1] == 0 and lengths[2] == 0
