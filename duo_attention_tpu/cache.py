@@ -270,11 +270,28 @@ class DuoCacheQ4(NamedTuple):
     length: jnp.ndarray
 
 
+def _init_streaming_bufs(cfg, duo, batch_size, dtype):
+    R = ring_capacity(duo)
+    C = duo.prefill_chunk_size
+    D = cfg.head_dim
+    k_sink, v_sink, k_ring, v_ring = [], [], [], []
+    for hf in duo.num_full_kv_heads:
+        hs = cfg.num_kv_heads - hf
+        k_sink.append(jnp.zeros((batch_size, hs, duo.sink_size + C, D), dtype))
+        v_sink.append(jnp.zeros((batch_size, hs, duo.sink_size + C, D), dtype))
+        k_ring.append(jnp.zeros((batch_size, hs, R, D), dtype))
+        v_ring.append(jnp.zeros((batch_size, hs, R, D), dtype))
+    return tuple(k_sink), tuple(v_sink), tuple(k_ring), tuple(v_ring)
+
+
 def init_cache_q4(
     cfg: ModelConfig, duo: DuoConfig, batch_size: int, dtype=jnp.bfloat16
 ) -> DuoCacheQ4:
+    """Allocates only the INT4 buffers for full heads — never the bf16
+    full cache (a 128k x 32-layer bf16 cache would not even fit a 16 GB
+    chip, which is the point of this variant)."""
     assert cfg.head_dim % 2 == 0
-    base = init_cache(cfg, duo, batch_size, dtype)
+    assert duo.max_cache_size % 128 == 0, "round max_cache_size up to x128"
     T = duo.max_cache_size
     Dh = cfg.head_dim // 2
     kq, vq, ks, vs = [], [], [], []
@@ -283,16 +300,19 @@ def init_cache_q4(
         vq.append(jnp.zeros((batch_size, hf, T, Dh), jnp.uint8))
         ks.append(jnp.zeros((batch_size, hf, 2, T), jnp.bfloat16))
         vs.append(jnp.zeros((batch_size, hf, 2, T), jnp.bfloat16))
+    k_sink, v_sink, k_ring, v_ring = _init_streaming_bufs(
+        cfg, duo, batch_size, dtype
+    )
     return DuoCacheQ4(
         k_full_q=tuple(kq),
         v_full_q=tuple(vq),
         k_full_s=tuple(ks),
         v_full_s=tuple(vs),
-        k_sink=base.k_sink,
-        v_sink=base.v_sink,
-        k_ring=base.k_ring,
-        v_ring=base.v_ring,
-        length=base.length,
+        k_sink=k_sink,
+        v_sink=v_sink,
+        k_ring=k_ring,
+        v_ring=v_ring,
+        length=jnp.zeros((), jnp.int32),
     )
 
 

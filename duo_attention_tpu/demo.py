@@ -74,11 +74,16 @@ def main():
 
     print(f"[demo] building {args.model} x{cfg.num_layers} layers, "
           f"full-kv-heads={nf[0]}/{cfg.num_kv_heads}, target {args.target_len} tokens")
-    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     if not args.no_w8a8:
-        params = quantize_params_w8a8(params)
+        # layer-streaming init+quantize: an 8B bf16 model would not fit a
+        # 16 GB chip alongside its int8 copy
+        from .ops.quant import init_params_w8a8
+
+        params = init_params_w8a8(cfg, jax.random.PRNGKey(0))
         print("[demo] weights quantized to W8A8 (per-channel int8 + dynamic "
               "per-token activation scales)")
+    else:
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     engine = DuoEngine(
         params, cfg, duo,
         kv_quant=("none" if args.no_int4_kv else "int4"),

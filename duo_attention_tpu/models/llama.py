@@ -440,7 +440,7 @@ def forward_two_way(
         kt = apply_rope(kt, cos[None], sin[None])
         full_out = full_fn(qt, kt, vt)  # [B, S, Hq, D]
         full_out = jax.lax.stop_gradient(full_out)
-        ht = ht + full_out.reshape(B, S, -1) @ layer["wo"]
+        ht = ht + _proj(layer, full_out.reshape(B, S, -1), "wo")
         ht = ht + _mlp(layer, rms_norm(ht, layer["post_norm"], cfg.rms_norm_eps))
         ht = jax.lax.stop_gradient(ht)
 
@@ -454,7 +454,7 @@ def forward_two_way(
             alpha_q * full_out.astype(jnp.float32)
         )
         mixed = mixed.astype(stream_out.dtype)
-        hs = hs + mixed.reshape(B, S, -1) @ layer["wo"]
+        hs = hs + _proj(layer, mixed.reshape(B, S, -1), "wo")
         hs = hs + _mlp(layer, rms_norm(hs, layer["post_norm"], cfg.rms_norm_eps))
 
     ht = rms_norm(ht, params["final_norm"], cfg.rms_norm_eps)
@@ -488,7 +488,7 @@ def forward_full_attention(
         q = apply_rope(q, cos[None], sin[None])
         k = apply_rope(k, cos[None], sin[None])
         attn = causal_attention_ref(q, k, v)
-        x = x + attn.reshape(B, S, -1) @ layer["wo"]
+        x = x + _proj(layer, attn.reshape(B, S, -1), "wo")
         h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
         x = x + _mlp(layer, h)
     return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

@@ -135,3 +135,37 @@ def quantize_params_w8a8(params: Dict) -> Dict:
     out = dict(params)
     out["layers"] = tuple(quantize_layer_weights(l) for l in params["layers"])
     return out
+
+
+def init_params_w8a8(cfg, key, dtype=None):
+    """Random-init a model directly in W8A8 form, one layer at a time.
+
+    Initializing the full bf16 model then quantizing needs bf16+int8
+    resident simultaneously (an 8B model would not fit a 16 GB chip);
+    here each layer is quantized as it is created and its bf16 source is
+    dropped, so peak HBM ≈ int8 model + one bf16 layer.
+    """
+    import dataclasses
+
+    import jax
+
+    from ..models import llama
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    # vocab shrunk for the per-layer inits: their embed/lm_head are discarded
+    one_layer = dataclasses.replace(cfg, num_layers=1, vocab_size=8)
+    keys = jax.random.split(key, cfg.num_layers + 1)
+    layers = []
+    for li in range(cfg.num_layers):
+        p = llama.init_params(one_layer, keys[li], dtype)
+        layer = jax.jit(quantize_layer_weights, donate_argnums=(0,))(
+            p["layers"][0]
+        )
+        del p
+        layers.append(jax.block_until_ready(layer))
+    top = llama.init_params(
+        dataclasses.replace(cfg, num_layers=0), keys[-1], dtype
+    )
+    top["layers"] = tuple(layers)
+    return top

@@ -89,6 +89,37 @@ def sparsify_attention_heads(
     return binary, actual_sparsity
 
 
+def visualize_head_map(
+    full_attention_heads, output_path: Optional[str] = None, title: str = ""
+):
+    """Heatmap of the (layer x KV-head) gate matrix.
+
+    Counterpart of the reference's wandb-logged matplotlib heatmap
+    (duo_attn/utils.py:312-323, logged from train.py:179-195). Returns the
+    figure; saves to output_path when given.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    heads = np.atleast_2d(np.asarray(full_attention_heads, dtype=float))
+    fig, ax = plt.subplots(
+        figsize=(max(4, heads.shape[1] * 0.35), max(3, heads.shape[0] * 0.22))
+    )
+    im = ax.imshow(heads, cmap="coolwarm", vmin=0.0, vmax=1.0, aspect="auto")
+    ax.set_xlabel("KV head")
+    ax.set_ylabel("layer")
+    if title:
+        ax.set_title(title)
+    fig.colorbar(im, ax=ax, label="gate (1 = retrieval)")
+    fig.tight_layout()
+    if output_path:
+        fig.savefig(output_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
 # ---------------------------------------------------------------------------
 # Head ordering
 # ---------------------------------------------------------------------------

@@ -179,6 +179,16 @@ class GateTrainer:
             gates,
             os.path.join(self.tcfg.output_dir, f"full_attention_heads_{tag}.tsv"),
         )
+        try:  # gate heatmap next to the TSV (reference logs one per save)
+            from ..patterns import visualize_head_map
+
+            visualize_head_map(
+                gates,
+                os.path.join(self.tcfg.output_dir, "head_map_latest.png"),
+                title=f"step {self.step_idx}",
+            )
+        except Exception:
+            pass
         state = jax.device_get(self.opt_state)
         flat, treedef = jax.tree_util.tree_flatten(state)
         np.savez(

@@ -182,3 +182,22 @@ def test_streaming_cache_attention_per_batch_lengths():
         np.testing.assert_allclose(
             np.asarray(got[b]), np.asarray(want[0]), atol=2e-3
         )
+
+
+def test_full_cache_attention_ragged_prefill():
+    """S>1 chunks appended at different per-sequence offsets."""
+    B, Hq, Hkv, D, T, S = 2, 4, 2, 32, 512, 64
+    keys = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = rand(keys[0], (B, S, Hq, D))
+    k = rand(keys[1], (B, Hkv, T, D))
+    v = rand(keys[2], (B, Hkv, T, D))
+    cs = jnp.asarray([0, 300], jnp.int32)
+
+    got = full_cache_attention(q, k, v, cs)
+    for b in range(B):
+        want = full_cache_attention(
+            q[b : b + 1], k[b : b + 1], v[b : b + 1], cs[b]
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[b]), np.asarray(want[0]), atol=2e-3
+        )

@@ -88,3 +88,15 @@ def test_reordered_gate_matrix():
     np.testing.assert_array_equal(
         reordered_gate_matrix(gates), [[1, 1, 0], [1, 0, 0]]
     )
+
+
+def test_visualize_head_map(tmp_path):
+    import os
+
+    from duo_attention_tpu.patterns import visualize_head_map
+
+    rng = np.random.default_rng(0)
+    heads = rng.uniform(size=(8, 4))
+    out = os.path.join(tmp_path, "map.png")
+    visualize_head_map(heads, out, title="test")
+    assert os.path.getsize(out) > 0

@@ -127,3 +127,22 @@ def test_kv_memory_int4_is_4x_smaller():
     q4 = kv_memory_bytes(init_cache_q4(cfg, duo, 1, jnp.bfloat16))
     # full cache dominates at max_cache >> sink+recent+chunk: expect ~3-4x
     assert fp / q4 > 2.5, (fp, q4)
+
+
+def test_init_params_w8a8_streaming():
+    """Layer-streaming init produces the same structure as init-then-quantize."""
+    import jax
+
+    from duo_attention_tpu.config import TINY_GQA
+    from duo_attention_tpu.models import llama
+    from duo_attention_tpu.ops.quant import init_params_w8a8
+
+    cfg = TINY_GQA
+    p = init_params_w8a8(cfg, jax.random.PRNGKey(0), jnp.float32)
+    assert len(p["layers"]) == cfg.num_layers
+    for layer in p["layers"]:
+        assert "wq_q8" in layer and "wq" not in layer
+        assert layer["wq_q8"].dtype == jnp.int8
+    ids = jnp.zeros((1, 16), jnp.int32)
+    out = llama.forward_full_attention(p, cfg, ids)
+    assert np.isfinite(np.asarray(out)).all()
