@@ -34,7 +34,12 @@ class ModelConfig:
 
     The reference patches HF models per ``model.config.model_type``
     (duo_attn/patch/__init__.py:22-55); here one functional implementation
-    covers all supported families, parameterized by this config.
+    covers all supported families, parameterized by this config. Notes:
+    * model_type "mixtral" routes to the dense path exactly as the
+      reference does (its mistral patch only replaces attention; MoE MLPs
+      are untouched and out of scope per SURVEY.md §2.6).
+    * Mistral sliding-window attention is disabled, matching the
+      reference's config normalization (duo_attn/utils.py:102-104).
     """
 
     vocab_size: int = 32000

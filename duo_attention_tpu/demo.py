@@ -63,7 +63,10 @@ def main():
         nf = num_full_kv_heads_per_layer(heads)[: cfg.num_layers]
     else:
         nf = (round(cfg.num_kv_heads * (1 - args.sparsity)),) * cfg.num_layers
-    max_cache = -(-(args.target_len + args.max_new_tokens + 1024) // 512) * 512
+    # x2048 so the decode kernels get their preferred 2048-token KV blocks
+    # (a non-divisible buffer falls back to 512 blocks — ~4x slower decode
+    # attention at this scale)
+    max_cache = -(-(args.target_len + args.max_new_tokens + 1024) // 2048) * 2048
     duo = DuoConfig(
         sink_size=sink,
         recent_size=recent,
@@ -128,17 +131,22 @@ def main():
     print(f"[prefill] total {time.perf_counter()-t_start:.1f}s")
 
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    half = max(args.max_new_tokens // 2, 1)
     fn = engine._decode_fn(
-        engine.bucket_for(prompt.shape[1] + args.max_new_tokens),
-        args.max_new_tokens,
+        engine.bucket_for(prompt.shape[1] + args.max_new_tokens), half
     )
     t0 = time.perf_counter()
-    tokens, cache = fn(engine.params, cache, first)
-    fence(tokens)
-    dt = time.perf_counter() - t0
-    text = decode_ids(tokenizer, np.asarray(tokens)[0])
-    print(f"[decode] {args.max_new_tokens} tokens in {dt:.2f}s "
-          f"({args.max_new_tokens/dt:.1f} tok/s)")
+    tok_a, cache = fn(engine.params, cache, first)
+    fence(tok_a)
+    dt_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tok_b, cache = fn(engine.params, cache, tok_a[:, -1])
+    fence(tok_b)
+    dt = time.perf_counter() - t0  # same compiled fn: steady-state
+    tokens = np.concatenate([np.asarray(tok_a), np.asarray(tok_b)], axis=1)
+    text = decode_ids(tokenizer, tokens[0])
+    print(f"[decode] {half} tokens in {dt:.2f}s steady "
+          f"({half/dt:.1f} tok/s; first call incl. compile {dt_cold:.1f}s)")
     print(f"[decode] response: {text[:400]!r}")
     print(f"[demo] expected needle answer: {DEFAULT_ANSWER!r}")
     for d, s in device_memory_stats().items():

@@ -110,8 +110,25 @@ def int8_matmul(xq: jnp.ndarray, x_scale, wq: jnp.ndarray, w_scale,
 
 def w8a8_linear(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Full dynamic-activation W8A8 linear (norm->quant fusion left to XLA)."""
+    """Full dynamic-activation W8A8 linear.
+
+    Large matmuls go through the Pallas GEMM with the scale epilogue fused
+    in-kernel (ops/gemm.py — XLA otherwise materializes the int32/f32
+    intermediates as HBM temps, see that module's docstring); small/decode
+    shapes use the plain dot_general path."""
     xq, xs = quantize_act_per_token(x)
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    K, N = wq.shape
+    if M >= 256 and M % 32 == 0 and K % 128 == 0 and N % 128 == 0:
+        from .gemm import w8a8_matmul
+
+        out = w8a8_matmul(
+            xq.reshape(M, K), xs.reshape(M, 1), wq, w_scale, out_dtype
+        )
+        return out.reshape(*lead, N)
     return int8_matmul(xq, xs, wq, w_scale, out_dtype)
 
 

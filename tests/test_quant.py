@@ -146,3 +146,40 @@ def test_init_params_w8a8_streaming():
     ids = jnp.zeros((1, 16), jnp.int32)
     out = llama.forward_full_attention(p, cfg, ids)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_w8a8_pallas_gemm_matches_dot_general():
+    import jax
+
+    from duo_attention_tpu.ops.gemm import w8a8_matmul
+    from duo_attention_tpu.ops.quant import int8_matmul
+
+    rng = np.random.default_rng(0)
+    M, K, N = 512, 256, 384
+    xq = rng.integers(-127, 128, (M, K)).astype(np.int8)
+    wq = rng.integers(-127, 128, (K, N)).astype(np.int8)
+    xs = rng.uniform(0.001, 0.02, (M, 1)).astype(np.float32)
+    ws = rng.uniform(0.001, 0.02, (N,)).astype(np.float32)
+    got = w8a8_matmul(jnp.asarray(xq), jnp.asarray(xs), jnp.asarray(wq),
+                      jnp.asarray(ws), out_dtype=jnp.float32)
+    want = int8_matmul(jnp.asarray(xq), jnp.asarray(xs), jnp.asarray(wq),
+                       jnp.asarray(ws), out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_w8a8_linear_pallas_path_matches_small_path():
+    from duo_attention_tpu.ops.quant import quantize_weight_int8, w8a8_linear
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((256, 384)).astype(np.float32))
+    wq, ws = quantize_weight_int8(w)
+    x = jnp.asarray(rng.standard_normal((1, 512, 256)).astype(np.float32))
+    big = w8a8_linear(x, wq, ws, out_dtype=jnp.float32)  # pallas path
+    rows = [
+        w8a8_linear(x[:, i : i + 1], wq, ws, out_dtype=jnp.float32)
+        for i in range(0, 512, 97)
+    ]
+    for idx, r in zip(range(0, 512, 97), rows):
+        np.testing.assert_allclose(
+            np.asarray(big[:, idx]), np.asarray(r[:, 0]), rtol=1e-5, atol=1e-5
+        )
