@@ -48,6 +48,7 @@ class DuoEngine:
         dtype=jnp.bfloat16,
         attn_impl: str = "auto",
         kv_quant: str = "none",
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -57,6 +58,10 @@ class DuoEngine:
         if attn_impl == "auto":
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "ref"
         self.attn_impl = attn_impl
+        # mesh: head-shards the Pallas kernels via shard_map on divisible
+        # layers (parallel/spmd.py); shard params/cache with
+        # parallel.mesh.shard_inference_state before constructing.
+        self.mesh = mesh
         assert kv_quant in ("none", "int4")
         self.kv_quant = kv_quant
         self._chunk_fns = {}
@@ -71,6 +76,7 @@ class DuoEngine:
                     duo=self.duo,
                     attn_impl=self.attn_impl,
                     full_bucket=bucket,
+                    mesh=self.mesh,
                 ),
                 donate_argnums=(1,),
             )
@@ -87,6 +93,7 @@ class DuoEngine:
                     attn_impl=self.attn_impl,
                     full_bucket=bucket,
                     num_steps=num_steps,
+                    mesh=self.mesh,
                 ),
                 donate_argnums=(1,),
             )
@@ -161,17 +168,19 @@ class DuoEngine:
         return tokens[:, 0], cache
 
 
-def _chunk_step(params, cache, chunk, n_valid, *, cfg, duo, attn_impl, full_bucket):
+def _chunk_step(params, cache, chunk, n_valid, *, cfg, duo, attn_impl,
+                full_bucket, mesh=None):
     hidden, cache = llama.forward_chunk(
         params, cfg, duo, cache, chunk, n_valid,
-        attn_impl=attn_impl, full_bucket=full_bucket,
+        attn_impl=attn_impl, full_bucket=full_bucket, mesh=mesh,
     )
     logits = llama.logits_at(params, hidden, n_valid - 1)
     return cache, logits
 
 
 def _decode_scan(
-    params, cache, first_token, *, cfg, duo, attn_impl, full_bucket, num_steps
+    params, cache, first_token, *, cfg, duo, attn_impl, full_bucket,
+    num_steps, mesh=None,
 ):
     """Greedy decode of ``num_steps`` tokens as a device-side scan.
 
@@ -183,7 +192,7 @@ def _decode_scan(
         cache, token = carry
         hidden, cache = llama.forward_chunk(
             params, cfg, duo, cache, token[:, None],
-            attn_impl=attn_impl, full_bucket=full_bucket,
+            attn_impl=attn_impl, full_bucket=full_bucket, mesh=mesh,
         )
         logits = llama.logits_at(params, hidden, 0)
         next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -50,7 +50,8 @@ def build_engine(args):
         prefill_chunk_size=args.prefill_chunk,
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
-    return DuoEngine(params, cfg, duo), cfg, duo
+    batch = getattr(args, "batch_size", 1)
+    return DuoEngine(params, cfg, duo, batch_size=batch), cfg, duo
 
 
 def bench_prefill(engine, ctx_len, runs=3):
@@ -69,12 +70,14 @@ def bench_prefill(engine, ctx_len, runs=3):
 
 
 def bench_decode(engine, ctx_len, steps=64, warmup=8):
-    """Steady-state decode latency with the cache pre-advanced to ctx_len."""
+    """Steady-state decode latency with the cache pre-advanced to ctx_len.
+    With engine.batch_size > 1 this measures batched decode (aggregate
+    tokens/s amortizes the weight reads across sequences)."""
     cache = engine.new_cache()
     cache = cache._replace(
         length=jnp.asarray(ctx_len - 3 * steps - warmup, jnp.int32)
     )
-    token = jnp.zeros((1,), jnp.int32)
+    token = jnp.zeros((engine.batch_size,), jnp.int32)
     bucket = engine.bucket_for(ctx_len)
     tokens, cache = engine._decode_fn(bucket, warmup)(engine.params, cache, token)
     fence(tokens)
@@ -97,6 +100,7 @@ def main():
     p.add_argument("--sink", type=int, default=64)
     p.add_argument("--recent", type=int, default=256)
     p.add_argument("--ctx-len", type=int, default=131072)
+    p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--prefill-chunk", type=int, default=8192)
     p.add_argument("--decode-steps", type=int, default=64)
     p.add_argument("--skip-prefill", action="store_true")
@@ -116,7 +120,11 @@ def main():
             f"{args.ctx_len / t:.0f} tok/s, kv_bytes={kv}"
         )
     t, kv = bench_decode(engine, args.ctx_len, args.decode_steps)
-    lines.append(f"decode: {t * 1e3:.2f} ms/token, {1 / t:.1f} tok/s, kv_bytes={kv}")
+    agg = args.batch_size / t
+    lines.append(
+        f"decode: {t * 1e3:.2f} ms/step, {agg:.1f} tok/s aggregate "
+        f"(batch={args.batch_size}), kv_bytes={kv}"
+    )
     mem = device_memory_stats()
     for d, s in mem.items():
         if s:

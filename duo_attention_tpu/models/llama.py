@@ -156,6 +156,7 @@ def _duo_layer_attention(
     positions: jnp.ndarray,
     attn_impl: str,
     full_bucket: int = 0,
+    mesh=None,
 ):
     """Split-head attention for one layer; returns (out, updated layer bufs).
 
@@ -163,7 +164,10 @@ def _duo_layer_attention(
     (or [B, S] when cache.length is per-sequence) global query positions;
     cache.length is the chunk start. full_bucket: static upper bound on
     valid full-cache length for this call (0 = whole buffer) — lets the
-    Pallas kernel grid cover only live blocks.
+    Pallas kernel grid cover only live blocks. mesh: when given and a
+    group's head count divides the ``tensor`` axis, its Pallas kernel runs
+    inside shard_map on head-sharded cache buffers (parallel/spmd.py);
+    other groups fall back to the unsharded call.
     """
     hf = duo.num_full_kv_heads[layer_idx]
     hs = cfg.num_kv_heads - hf
@@ -203,13 +207,24 @@ def _duo_layer_attention(
                     )
                 )
             elif attn_impl == "pallas":
-                from ..ops.flash import full_cache_attention_q4
+                from ..parallel.spmd import can_shard_heads
 
-                outs.append(
-                    full_cache_attention_q4(
-                        q_f, kq, ks_, vq, vs_, cs, bucket=full_bucket
+                if can_shard_heads(mesh, hf):
+                    from ..parallel.spmd import sharded_full_attention_q4
+
+                    outs.append(
+                        sharded_full_attention_q4(
+                            mesh, q_f, kq, ks_, vq, vs_, cs, bucket=full_bucket
+                        )
                     )
-                )
+                else:
+                    from ..ops.flash import full_cache_attention_q4
+
+                    outs.append(
+                        full_cache_attention_q4(
+                            q_f, kq, ks_, vq, vs_, cs, bucket=full_bucket
+                        )
+                    )
             else:
                 raise ValueError(f"unknown attn_impl {attn_impl}")
         else:
@@ -227,13 +242,24 @@ def _duo_layer_attention(
                     )
                 )
             elif attn_impl == "pallas":
-                from ..ops.flash import full_cache_attention
+                from ..parallel.spmd import can_shard_heads
 
                 # bucket bounds the kernel grid; the buffer is passed whole
                 # so no live-prefix copy is materialized.
-                outs.append(
-                    full_cache_attention(q_f, kf, vf, cs, bucket=full_bucket)
-                )
+                if can_shard_heads(mesh, hf):
+                    from ..parallel.spmd import sharded_full_attention
+
+                    outs.append(
+                        sharded_full_attention(
+                            mesh, q_f, kf, vf, cs, bucket=full_bucket
+                        )
+                    )
+                else:
+                    from ..ops.flash import full_cache_attention
+
+                    outs.append(
+                        full_cache_attention(q_f, kf, vf, cs, bucket=full_bucket)
+                    )
             else:
                 raise ValueError(f"unknown attn_impl {attn_impl}")
 
@@ -269,14 +295,26 @@ def _duo_layer_attention(
                 )
             )
         elif attn_impl == "pallas":
-            from ..ops.flash import streaming_cache_attention
+            from ..parallel.spmd import can_shard_heads
 
-            outs.append(
-                streaming_cache_attention(
-                    q_s, ks, vs, kr, vr, cs, total_after,
-                    duo.sink_size, duo.recent_size,
+            if can_shard_heads(mesh, hs):
+                from ..parallel.spmd import sharded_streaming_attention
+
+                outs.append(
+                    sharded_streaming_attention(
+                        mesh, q_s, ks, vs, kr, vr, cs, total_after,
+                        duo.sink_size, duo.recent_size,
+                    )
                 )
-            )
+            else:
+                from ..ops.flash import streaming_cache_attention
+
+                outs.append(
+                    streaming_cache_attention(
+                        q_s, ks, vs, kr, vr, cs, total_after,
+                        duo.sink_size, duo.recent_size,
+                    )
+                )
         else:
             raise ValueError(f"unknown attn_impl {attn_impl}")
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
@@ -307,6 +345,7 @@ def forward_chunk(
     n_valid=None,
     attn_impl: str = "ref",
     full_bucket: int = 0,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, DuoCache]:
     """One forward step over a chunk of tokens with cache update.
 
@@ -339,7 +378,8 @@ def forward_chunk(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn_out, new_bufs = _duo_layer_attention(
-            li, q, k, v, cache, cfg, duo, positions, attn_impl, full_bucket
+            li, q, k, v, cache, cfg, duo, positions, attn_impl, full_bucket,
+            mesh,
         )
         attn_out = attn_out.reshape(B, S, cfg.num_heads * cfg.head_dim)
         x = x + _proj(layer, attn_out, "wo")

@@ -189,6 +189,21 @@ def dryrun_step(n_devices: int) -> None:
     jax.block_until_ready(logits)
     assert logits.shape == (batch, cfg.vocab_size)
 
+    # Same step with the shard_map'd Pallas kernels (head-sharded cache,
+    # parallel/spmd.py) — interpret mode off-TPU, real kernels on a slice.
+    @jax.jit
+    def step_pallas(params, cache, ids):
+        hidden, cache = llama.forward_chunk(
+            params, cfg, duo, cache, ids, attn_impl="pallas", mesh=mesh
+        )
+        return llama.logits_at(params, hidden, ids.shape[1] - 1), cache
+
+    cache2 = init_cache(cfg, duo, batch_size=batch)
+    cache2 = jax.device_put(cache2, c_sh)
+    logits2, _ = step_pallas(params, cache2, ids)
+    jax.block_until_ready(logits2)
+    assert logits2.shape == (batch, cfg.vocab_size)
+
     # Training step (dp × sp with Ulysses all-to-all) — if available.
     try:
         from ..train.trainer import dryrun_train_step

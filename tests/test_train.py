@@ -231,3 +231,29 @@ def test_trainer_steps_and_resume(tmp_path, tiny):
 
 def test_dryrun_train_step_8dev():
     dryrun_train_step(8)
+
+
+def test_ulysses_all_to_all_roundtrip():
+    """seq_to_head then head_to_seq is the identity (reference tests this
+    implicitly via SeqAllToAll4D fwd/bwd, duo_attn/ulysses/utils.py:95-119)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from duo_attention_tpu.parallel.ulysses import head_to_seq, seq_to_head
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("seq",))
+    B, S, H, D = 2, 32, 8, 16
+    x = np.arange(B * S * H * D, dtype=np.float32).reshape(B, S, H, D)
+
+    def fn(x_shard):
+        y = seq_to_head(x_shard, "seq")  # [B, S, H/P, D]
+        return head_to_seq(y, "seq")
+
+    out = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh, in_specs=P(None, "seq"), out_specs=P(None, "seq")
+        )
+    )(x)
+    np.testing.assert_array_equal(np.asarray(out), x)
