@@ -252,11 +252,16 @@ class DuoCacheQ4(NamedTuple):
     Counterpart of DuoAttentionStaticINT4KVCache (demo/int4_kv.py:115-492).
     The streaming (sink+ring) caches stay bf16: they are O(sink+recent)
     per layer, so quantizing them saves ~nothing while the full cache —
-    the component that scales with context — drops 4x. Packed layout and
-    scale semantics: ops/quant.quantize_int4.
+    the component that scales with context — drops 4x.
 
-    k/v_full_q: [B, Hf_l, max_size, D//2] uint8
-    k/v_full_s: [B, Hf_l, 2, max_size] bf16 (scale row 0, zero-point row 1)
+    Storage is TOKEN-PAIRED so every buffer is TPU tile-aligned with zero
+    padding (ops/quant.py layout note; [T, 64]-shaped u8 would physically
+    double in HBM):
+    k/v_full_q: [B, Hf_l, max_size//2, D] uint8 — row r holds the packed
+        nibbles of tokens 2r and 2r+1 (64 bytes each)
+    k/v_full_s: [B, 8*Hf_l, max_size//2] bf16 — per head h, rows
+        8h..8h+3 are (scale_even, scale_odd, zp_even, zp_odd); rows
+        8h+4..8h+7 are padding (Mosaic requires 8-aligned sublane blocks)
     """
 
     k_full_q: Tuple[jnp.ndarray, ...]
@@ -293,13 +298,13 @@ def init_cache_q4(
     assert cfg.head_dim % 2 == 0
     assert duo.max_cache_size % 128 == 0, "round max_cache_size up to x128"
     T = duo.max_cache_size
-    Dh = cfg.head_dim // 2
+    D = cfg.head_dim
     kq, vq, ks, vs = [], [], [], []
     for hf in duo.num_full_kv_heads:
-        kq.append(jnp.zeros((batch_size, hf, T, Dh), jnp.uint8))
-        vq.append(jnp.zeros((batch_size, hf, T, Dh), jnp.uint8))
-        ks.append(jnp.zeros((batch_size, hf, 2, T), jnp.bfloat16))
-        vs.append(jnp.zeros((batch_size, hf, 2, T), jnp.bfloat16))
+        kq.append(jnp.zeros((batch_size, hf, T // 2, D), jnp.uint8))
+        vq.append(jnp.zeros((batch_size, hf, T // 2, D), jnp.uint8))
+        ks.append(jnp.zeros((batch_size, 8 * hf, T // 2), jnp.bfloat16))
+        vs.append(jnp.zeros((batch_size, 8 * hf, T // 2), jnp.bfloat16))
     k_sink, v_sink, k_ring, v_ring = _init_streaming_bufs(
         cfg, duo, batch_size, dtype
     )
@@ -317,21 +322,51 @@ def init_cache_q4(
 
 
 def write_full_q4(buf_q, buf_s, incoming, start):
-    """Quantize incoming [B, Hf, S, D] and append at ``start`` (scalar or
-    per-sequence [B] vector)."""
-    from .ops.quant import quantize_int4
+    """Quantize incoming [B, Hf, S, D] and append at ``start``.
 
-    packed, scales = quantize_int4(incoming)  # [B,H,S,D/2], [B,H,2,S]
-    scales = scales.astype(buf_s.dtype)
+    Token-paired layout (ops/quant.py): S > 1 writes require an even
+    ``start`` (true for chunked prefill — chunk sizes are even and a
+    fresh prefill starts at 0); decode (S == 1) writes one token into its
+    half-row at any parity. start: scalar or per-sequence [B] vector
+    (vector only for S == 1, the serving decode path).
+    """
+    from .ops.quant import quantize_int4, quantize_int4_paired
+
+    B, H, S, D = incoming.shape
+    T2 = buf_q.shape[2]
     start = jnp.asarray(start)
-    if start.ndim == 1:
-        buf_q = jax.vmap(
-            lambda b, x, s: jax.lax.dynamic_update_slice(b, x, (0, s, 0))
-        )(buf_q, packed, start)
-        buf_s = jax.vmap(
-            lambda b, x, s: jax.lax.dynamic_update_slice(b, x, (0, 0, s))
-        )(buf_s, scales, start)
-        return buf_q, buf_s
-    buf_q = jax.lax.dynamic_update_slice(buf_q, packed, (0, 0, start, 0))
-    buf_s = jax.lax.dynamic_update_slice(buf_s, scales, (0, 0, 0, start))
-    return buf_q, buf_s
+
+    if S == 1:
+        packed, scales = quantize_int4(incoming)  # [B,H,1,D/2], [B,H,2,1]
+        scales = scales.astype(buf_s.dtype)
+        bs4 = buf_s.reshape(B, H, 8, T2)  # same memory layout
+
+        def write_one(bq, bs, pk, sc, t):
+            # bq [H,T2,D]; bs [H,4,T2]; pk [H,1,D/2]; sc [H,2,1]
+            par = t % 2
+            bq = jax.lax.dynamic_update_slice(
+                bq, pk, (0, t // 2, par * (D // 2))
+            )
+            bs = jax.lax.dynamic_update_slice(
+                bs, sc[:, 0:1, :], (0, par, t // 2)
+            )
+            bs = jax.lax.dynamic_update_slice(
+                bs, sc[:, 1:2, :], (0, 2 + par, t // 2)
+            )
+            return bq, bs
+
+        starts = start if start.ndim == 1 else jnp.broadcast_to(start, (B,))
+        bq, bs4 = jax.vmap(write_one)(buf_q, bs4, packed, scales, starts)
+        return bq, bs4.reshape(B, 8 * H, T2)
+
+    assert start.ndim == 0, "batched ragged q4 prefill writes unsupported"
+    packed2, scales4 = quantize_int4_paired(incoming)
+    # [B,H,S/2,D], [B,H,4,S/2]
+    buf_q = jax.lax.dynamic_update_slice(
+        buf_q, packed2, (0, 0, start // 2, 0)
+    )
+    bs8 = buf_s.reshape(B, H, 8, T2)
+    bs8 = jax.lax.dynamic_update_slice(
+        bs8, scales4.astype(bs8.dtype), (0, 0, 0, start // 2)
+    )
+    return buf_q, bs8.reshape(B, 8 * H, T2)

@@ -51,6 +51,8 @@ def main():
     p.add_argument("--tokenizer", default="byte")
     p.add_argument("--no-w8a8", action="store_true")
     p.add_argument("--no-int4-kv", action="store_true")
+    p.add_argument("--quantize-embeds", action="store_true",
+                   help="int8 embed/lm_head too (~1 GB extra KV budget)")
     args = p.parse_args()
 
     cfg = PRESETS[args.model]
@@ -82,7 +84,9 @@ def main():
         # 16 GB chip alongside its int8 copy
         from .ops.quant import init_params_w8a8
 
-        params = init_params_w8a8(cfg, jax.random.PRNGKey(0))
+        params = init_params_w8a8(
+            cfg, jax.random.PRNGKey(0), quantize_embeds=args.quantize_embeds
+        )
         print("[demo] weights quantized to W8A8 (per-channel int8 + dynamic "
               "per-token activation scales)")
     else:

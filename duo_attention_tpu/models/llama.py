@@ -97,6 +97,28 @@ def lm_head_weight(params: Params) -> jnp.ndarray:
     return params["embed"].T  # tied embeddings
 
 
+def embed_lookup(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding gather; int8 rows dequantized per-row when the table is
+    quantized (ops.quant.quantize_embeddings_int8)."""
+    if "embed_q8" in params:
+        rows = params["embed_q8"][input_ids].astype(jnp.float32)
+        scale = params["embed_scale"][input_ids][..., None]
+        return (rows * scale).astype(params["final_norm"].dtype)
+    return params["embed"][input_ids]
+
+
+def _head_logits(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """h [..., E] -> logits [..., vocab] in f32 (W8A8 head when present)."""
+    if "lm_head_q8" in params:
+        from ..ops.quant import w8a8_linear
+
+        return w8a8_linear(
+            h, params["lm_head_q8"], params["lm_head_scale"],
+            out_dtype=jnp.float32,
+        )
+    return (h @ lm_head_weight(params)).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Building blocks
 # ---------------------------------------------------------------------------
@@ -195,10 +217,15 @@ def _duo_layer_attention(
             new_bufs["k_full_q"], new_bufs["k_full_s"] = kq, ks_
             new_bufs["v_full_q"], new_bufs["v_full_s"] = vq, vs_
             if attn_impl == "ref":
-                from ..ops.quant import dequantize_int4
+                from ..ops.quant import dequantize_int4_paired
 
-                kf = dequantize_int4(kq, ks_).astype(q.dtype)
-                vf = dequantize_int4(vq, vs_).astype(q.dtype)
+                B_, T2 = kq.shape[0], kq.shape[2]
+                kf = dequantize_int4_paired(
+                    kq, ks_.reshape(B_, hf, 8, T2)[:, :, :4]
+                ).astype(q.dtype)
+                vf = dequantize_int4_paired(
+                    vq, vs_.reshape(B_, hf, 8, T2)[:, :, :4]
+                ).astype(q.dtype)
                 mask = _expand_mask(full_mask(positions, kf.shape[2]))
                 outs.append(
                     masked_attention(
@@ -370,7 +397,7 @@ def forward_chunk(
     if cos.ndim == 2:
         cos, sin = cos[None], sin[None]
 
-    x = params["embed"][input_ids]  # [B, S, E]
+    x = embed_lookup(params, input_ids)  # [B, S, E]
 
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
@@ -398,11 +425,11 @@ def logits_at(params: Params, hidden: jnp.ndarray, index) -> jnp.ndarray:
 
     hidden: [B, S, E]; index: traced scalar. Returns [B, vocab]."""
     h = jax.lax.dynamic_slice_in_dim(hidden, index, 1, axis=1)[:, 0]
-    return (h @ lm_head_weight(params)).astype(jnp.float32)
+    return _head_logits(params, h)
 
 
 def all_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
-    return (hidden @ lm_head_weight(params)).astype(jnp.float32)
+    return _head_logits(params, hidden)
 
 
 # ---------------------------------------------------------------------------
@@ -464,7 +491,7 @@ def forward_two_way(
         full_fn, stream_fn = full_attn, stream_attn
 
     G = cfg.num_kv_groups
-    x = params["embed"][input_ids]
+    x = embed_lookup(params, input_ids)
     ht = x  # teacher
     hs = x  # student
 
@@ -521,7 +548,7 @@ def forward_full_attention(
     B, S = input_ids.shape
     positions = jnp.arange(S, dtype=jnp.int32)
     cos, sin = rope_cos_sin(rope_inv_freq(cfg), positions)
-    x = params["embed"][input_ids]
+    x = embed_lookup(params, input_ids)
     for layer in params["layers"]:
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(layer, h, cfg)

@@ -109,27 +109,57 @@ class _OnlineSoftmax:
     def update_q4(self, q, kp, ks, vp, vs, mask=None):
         """INT4 variant: dequantization folded into score/output rescaling.
 
-        q: [rows, D] (bf16); kp/vp: [bk, D//2] uint8 packed; ks/vs: [2, bk]
-        (scale row 0, zero-point row 1). Math: with K = Kq*s_t + z_t,
+        Token-paired storage (ops/quant.py layout note): kp/vp [bk//2, D]
+        uint8 — row r holds the packed nibbles of tokens 2r and 2r+1 of
+        the block; ks/vs [4, bk//2] = (scale_even, scale_odd, zp_even,
+        zp_odd). The block is processed in "even tokens then odd tokens"
+        row order — softmax is permutation-invariant, the caller's mask
+        must use the matching eo column positions. Math: with
+        K = Kq*s_t + z_t,
           scores[i,t] = s_t * (q_i . Kq_t) + z_t * sum_d(q_i,d)
           out = (p * s_t) @ Vq + (p . z_t) * 1_D
         so the integer tensors go straight to the MXU and no dequantized
         block is ever materialized (cf. demo/int4_kv.py:373-436).
         """
         rows, D = q.shape
-        bk = kp.shape[0]
-        half = kp.shape[1]
-        # Mosaic supports neither uint8->bf16 casts nor uint8 shifts;
-        # widen to int32 first and do the bit ops there.
-        kp32 = kp.astype(jnp.int32)
-        lo = (kp32 & 0xF).astype(q.dtype)
-        hi = ((kp32 >> 4) & 0xF).astype(q.dtype)
-        kq = jnp.concatenate([lo, hi], axis=-1)  # [bk, D]
+        D2 = D // 2
+
+        def unpack_eo(packed):
+            # [bk//2, D] u8 -> [bk, D] in even/odd row order. Mosaic has
+            # no uint8 shifts/casts to bf16 (and cannot legalize i16
+            # shifts); widen to int32 first.
+            p32 = packed.astype(jnp.int32)
+            even, odd = p32[:, :D2], p32[:, D2:]
+
+            def unp(b):
+                lo = (b & 0xF).astype(q.dtype)
+                hi = ((b >> 4) & 0xF).astype(q.dtype)
+                return jnp.concatenate([lo, hi], axis=-1)
+
+            return jnp.concatenate([unp(even), unp(odd)], axis=0)
+
+        def scales_eo(s4):
+            # [4, bk//2] -> scale [1, bk], zp [1, bk] in eo column order.
+            # Rows are extracted with masked reductions: a plain s4[i:i+1]
+            # slice carries a sublane offset Mosaic cannot lane-concat
+            # ("offset mismatch on non-concat dimension").
+            s4f = s4.astype(jnp.float32)
+            rid = jax.lax.broadcasted_iota(jnp.int32, s4.shape, 0)
+
+            def row(i):
+                return jnp.sum(
+                    jnp.where(rid == i, s4f, 0.0), axis=0, keepdims=True
+                )
+
+            sc = jnp.concatenate([row(0), row(1)], axis=-1)
+            zp = jnp.concatenate([row(2), row(3)], axis=-1)
+            return sc, zp
+
+        kq = unpack_eo(kp)  # [bk, D]
+        k_scale, k_zp = scales_eo(ks)
         s_int = jax.lax.dot_general(
             q, kq, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        k_scale = ks[0:1, :].astype(jnp.float32)  # [1, bk]
-        k_zp = ks[1:2, :].astype(jnp.float32)
         q_rowsum = jnp.sum(q.astype(jnp.float32), axis=-1, keepdims=True)
         s = (s_int * k_scale + q_rowsum * k_zp) * self.scale
         if mask is not None:
@@ -149,12 +179,8 @@ class _OnlineSoftmax:
         self.m[...] = m_next
         self.l[...] = l_next
 
-        vp32 = vp.astype(jnp.int32)
-        vlo = (vp32 & 0xF).astype(q.dtype)
-        vhi = ((vp32 >> 4) & 0xF).astype(q.dtype)
-        vq = jnp.concatenate([vlo, vhi], axis=-1)  # [bk, D]
-        v_scale = vs[0:1, :].astype(jnp.float32)
-        v_zp = vs[1:2, :].astype(jnp.float32)
+        vq = unpack_eo(vp)  # [bk, D]
+        v_scale, v_zp = scales_eo(vs)
         p_scaled = (p * v_scale).astype(q.dtype)
         contrib = jax.lax.dot(p_scaled, vq, preferred_element_type=jnp.float32)
         zp_term = jnp.sum(p * v_zp, axis=1, keepdims=True)  # [rows, 1]
@@ -341,12 +367,25 @@ def full_cache_attention(
 # ---------------------------------------------------------------------------
 
 
+def _eo_cols(rows: int, bk: int, base):
+    """Column positions [rows, bk] for a token-paired block in the
+    even-then-odd row order update_q4 uses (ops/quant.py layout note)."""
+    half = bk // 2
+    ii = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
+    return base + 2 * (ii % half) + (ii // half)
+
+
 def _full_prefill_q4_kernel(
     cs_ref, q_ref, kp_ref, ks_ref, vp_ref, vs_ref, o_ref,
-    m_scr, l_scr, acc_scr, *, bq, bk, n_kv, scale
+    m_scr, l_scr, acc_scr, *, bq, bk, n_kv, scale, g
 ):
+    # Each head owns an 8-row scale group (Mosaic sublane alignment);
+    # rows 0-3 are (scale_even, scale_odd, zp_even, zp_odd).
+    del g
     i, j = pl.program_id(2), pl.program_id(3)
     cs = cs_ref[pl.program_id(0)]
+    ks = ks_ref[0, 0:4]
+    vs = vs_ref[0, 0:4]
     osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
 
     @pl.when(j == 0)
@@ -359,19 +398,14 @@ def _full_prefill_q4_kernel(
 
     @pl.when(col_hi <= qpos_lo)
     def _():
-        osm.update_q4(
-            q_ref[0, 0], kp_ref[0, 0], ks_ref[0, 0], vp_ref[0, 0], vs_ref[0, 0]
-        )
+        osm.update_q4(q_ref[0, 0], kp_ref[0, 0], ks, vp_ref[0, 0], vs)
 
     @pl.when(jnp.logical_and(col_hi > qpos_lo, j * bk <= qpos_hi))
     def _():
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * bk
+        cols = _eo_cols(bq, bk, j * bk)
         mask = cols <= qpos_lo + rows_i
-        osm.update_q4(
-            q_ref[0, 0], kp_ref[0, 0], ks_ref[0, 0], vp_ref[0, 0], vs_ref[0, 0],
-            mask,
-        )
+        osm.update_q4(q_ref[0, 0], kp_ref[0, 0], ks, vp_ref[0, 0], vs, mask)
 
     @pl.when(j == n_kv - 1)
     def _():
@@ -384,6 +418,8 @@ def _full_decode_q4_kernel(
 ):
     j = pl.program_id(2)
     cs = cs_ref[pl.program_id(0)]
+    ks = ks_ref[0, 0:4]
+    vs = vs_ref[0, 0:4]
     osm = _OnlineSoftmax(m_scr, l_scr, acc_scr, scale)
 
     @pl.when(j == 0)
@@ -392,12 +428,8 @@ def _full_decode_q4_kernel(
 
     @pl.when(j * bk <= cs)
     def _():
-        cols = jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1) + j * bk
-        mask = cols <= cs
-        osm.update_q4(
-            q_ref[0, 0], kp_ref[0, 0], ks_ref[0, 0], vp_ref[0, 0], vs_ref[0, 0],
-            mask,
-        )
+        mask = _eo_cols(g, bk, j * bk) <= cs
+        osm.update_q4(q_ref[0, 0], kp_ref[0, 0], ks, vp_ref[0, 0], vs, mask)
 
     @pl.when(j == n_kv - 1)
     def _():
@@ -418,15 +450,17 @@ def full_cache_attention_q4(
 ) -> jnp.ndarray:
     """INT4-KV version of full_cache_attention; dequant fused in-kernel.
 
-    q: [B, S, Hq, D]; k/v_packed: [B, Hkv, T, D//2] uint8;
-    k/v_scales: [B, Hkv, 2, T] (scale, zero-point rows).
+    Token-paired tile-native storage (ops/quant.py layout note):
+    q: [B, S, Hq, D]; k/v_packed: [B, Hkv, T//2, D] uint8;
+    k/v_scales: [B, 8*Hkv, T//2] (per head an 8-row group: rows 0-3 =
+    scale_even, scale_odd, zp_even, zp_odd; rows 4-7 pad).
     """
     B, S, Hq, D = q.shape
-    _, Hkv, T, _ = k_packed.shape
+    _, Hkv, T2, _ = k_packed.shape
+    T = T2 * 2
     G = Hq // Hkv
     scale = 1.0 / (D**0.5)
     cs = jnp.broadcast_to(jnp.asarray(cs, jnp.int32).reshape(-1), (B,))
-    Dh = D // 2
 
     if S == 1:
         # Same large-block rationale as the bf16 decode path above.
@@ -440,7 +474,7 @@ def full_cache_attention_q4(
             return (b, h, jnp.minimum(j, c[b] // bk), 0)
 
         def sc_idx(b, h, j, c):
-            return (b, h, 0, jnp.minimum(j, c[b] // bk))
+            return (b, h, jnp.minimum(j, c[b] // bk))
 
         out = pl.pallas_call(
             functools.partial(
@@ -451,10 +485,10 @@ def full_cache_attention_q4(
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec((1, 1, G, D), lambda b, h, j, c: (b, h, 0, 0)),
-                    pl.BlockSpec((1, 1, bk, Dh), kv_idx),
-                    pl.BlockSpec((1, 1, 2, bk), sc_idx),
-                    pl.BlockSpec((1, 1, bk, Dh), kv_idx),
-                    pl.BlockSpec((1, 1, 2, bk), sc_idx),
+                    pl.BlockSpec((1, 1, bk // 2, D), kv_idx),
+                    pl.BlockSpec((1, 8, bk // 2), sc_idx),
+                    pl.BlockSpec((1, 1, bk // 2, D), kv_idx),
+                    pl.BlockSpec((1, 8, bk // 2), sc_idx),
                 ],
                 out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, j, c: (b, h, 0, 0)),
                 scratch_shapes=[
@@ -485,21 +519,21 @@ def full_cache_attention_q4(
 
     def sc_idx(b, h, i, j, c):
         last = jnp.maximum(c[b] + (i + 1) * bq - 1, 0) // bk
-        return (b, h // G, 0, jnp.minimum(j, jnp.minimum(last, n_kv - 1)))
+        return (b, h // G, jnp.minimum(j, jnp.minimum(last, n_kv - 1)))
 
     out = pl.pallas_call(
         functools.partial(
-            _full_prefill_q4_kernel, bq=bq, bk=bk, n_kv=n_kv, scale=scale
+            _full_prefill_q4_kernel, bq=bq, bk=bk, n_kv=n_kv, scale=scale, g=G
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, c: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, bk, Dh), kv_idx),
-                pl.BlockSpec((1, 1, 2, bk), sc_idx),
-                pl.BlockSpec((1, 1, bk, Dh), kv_idx),
-                pl.BlockSpec((1, 1, 2, bk), sc_idx),
+                pl.BlockSpec((1, 1, bk // 2, D), kv_idx),
+                pl.BlockSpec((1, 8, bk // 2), sc_idx),
+                pl.BlockSpec((1, 1, bk // 2, D), kv_idx),
+                pl.BlockSpec((1, 8, bk // 2), sc_idx),
             ],
             out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, c: (b, h, i, 0)),
             scratch_shapes=[

@@ -73,6 +73,59 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=-1)
 
 
+# --- token-paired storage layout (TPU tile-native) -------------------------
+#
+# A packed token row is D//2 = 64 bytes; stored as [..., T, 64] the TPU pads
+# the 64-lane dim to 128 (2x HBM, and XLA then compresses/uncompresses the
+# buffer with extra copies). The cache therefore stores TOKEN PAIRS:
+#   packed2 [..., T//2, 128]: row r = [bytes of token 2r | bytes of token 2r+1]
+#   scales4 [..., 4, T//2]:  rows = (scale_even, scale_odd, zp_even, zp_odd)
+# Both shapes are exactly tile-aligned (128 lanes; the 4-row scale block is
+# grouped per head into a [4*H, T//2] buffer by the cache). The attention
+# kernels unpack a block into "even tokens then odd tokens" row order —
+# online softmax is permutation-invariant over KV positions, so only the
+# in-kernel position iota changes (ops/flash.py).
+
+
+def quantize_int4_paired(x: jnp.ndarray):
+    """[..., S, D] (S even) -> (packed2 [..., S//2, D], scales4 [..., 4, S//2])."""
+    S = x.shape[-2]
+    assert S % 2 == 0, f"token-paired int4 needs even S, got {S}"
+    packed, scales = quantize_int4(x)  # [..., S, D//2], [..., 2, S]
+    D2 = packed.shape[-1]
+    packed2 = packed.reshape(*packed.shape[:-2], S // 2, 2 * D2)
+    scale, zp = scales[..., 0, :], scales[..., 1, :]
+    scales4 = jnp.stack(
+        [scale[..., 0::2], scale[..., 1::2], zp[..., 0::2], zp[..., 1::2]],
+        axis=-2,
+    )  # [..., 4, S//2]
+    return packed2, scales4
+
+
+def paired_scales_to_cache_layout(scales4: jnp.ndarray) -> jnp.ndarray:
+    """[..., H, 4, S/2] -> [..., 8*H, S/2] cache storage: each head owns an
+    8-row group (Mosaic requires 8-aligned sublane blocks); rows 0-3 =
+    (scale_even, scale_odd, zp_even, zp_odd), rows 4-7 unused."""
+    *lead, H, four, S2 = scales4.shape
+    assert four == 4
+    pad = jnp.zeros((*lead, H, 4, S2), scales4.dtype)
+    return jnp.concatenate([scales4, pad], axis=-2).reshape(*lead, 8 * H, S2)
+
+
+def dequantize_int4_paired(packed2: jnp.ndarray, scales4: jnp.ndarray):
+    """Inverse of quantize_int4_paired: -> [..., S, D] float32."""
+    *lead, half_s, D = packed2.shape
+    packed = packed2.reshape(*lead, half_s * 2, D // 2)
+    scale = jnp.stack(
+        [scales4[..., 0, :], scales4[..., 1, :]], axis=-1
+    ).reshape(*lead, half_s * 2)
+    zp = jnp.stack(
+        [scales4[..., 2, :], scales4[..., 3, :]], axis=-1
+    ).reshape(*lead, half_s * 2)
+    scales = jnp.stack([scale, zp], axis=-2)  # [..., 2, S]
+    return dequantize_int4(packed, scales)
+
+
 # ---------------------------------------------------------------------------
 # W8A8
 # ---------------------------------------------------------------------------
@@ -154,13 +207,47 @@ def quantize_params_w8a8(params: Dict) -> Dict:
     return out
 
 
-def init_params_w8a8(cfg, key, dtype=None):
+def quantize_embeddings_int8(params: Dict) -> Dict:
+    """Quantize embed (per-row) and lm_head (per-out-channel) to int8.
+
+    The reference keeps these fp16 (demo/w8a8kv4_llama.py:478-483); on a
+    16 GB chip they are ~2.1 GB for Llama-3 — quantizing them buys ~1 GB
+    of extra KV budget. Embed rows are dequantized at lookup (a gather of
+    int8 rows + per-row scale); lm_head runs through the W8A8 linear.
+    """
+    import jax
+
+    def embed_q(emb):
+        emb = emb.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(emb), axis=-1, keepdims=True)
+        scale = absmax / 127.0 + 1e-12
+        q = jnp.clip(jnp.round(emb / scale), -127, 127).astype(jnp.int8)
+        return q, scale[:, 0].astype(jnp.float32)
+
+    out = dict(params)
+    if "embed" in out:
+        # jit + donate: unjitted, each elementwise op materializes a full
+        # f32 copy of the table (~2 GB each for Llama-3) — enough to OOM a
+        # 16 GB chip with the int8 model already resident
+        out["embed_q8"], out["embed_scale"] = jax.jit(
+            embed_q, donate_argnums=(0,)
+        )(out.pop("embed"))
+    if "lm_head" in out:
+        out["lm_head_q8"], out["lm_head_scale"] = jax.jit(
+            quantize_weight_int8, donate_argnums=(0,)
+        )(out.pop("lm_head"))
+    return out
+
+
+def init_params_w8a8(cfg, key, dtype=None, quantize_embeds: bool = False):
     """Random-init a model directly in W8A8 form, one layer at a time.
 
     Initializing the full bf16 model then quantizing needs bf16+int8
     resident simultaneously (an 8B model would not fit a 16 GB chip);
     here each layer is quantized as it is created and its bf16 source is
     dropped, so peak HBM ≈ int8 model + one bf16 layer.
+    quantize_embeds also converts embed/lm_head to int8
+    (quantize_embeddings_int8).
     """
     import dataclasses
 
@@ -185,4 +272,6 @@ def init_params_w8a8(cfg, key, dtype=None):
         dataclasses.replace(cfg, num_layers=0), keys[-1], dtype
     )
     top["layers"] = tuple(layers)
+    if quantize_embeds:
+        top = quantize_embeddings_int8(top)
     return top

@@ -78,10 +78,10 @@ def sharded_full_attention_q4(
         mesh=mesh,
         in_specs=(
             P(b, None, "tensor", None),   # q
-            P(b, "tensor", None, None),   # packed K [B, Hkv, T, D//2]
-            P(b, "tensor", None, None),   # K scales [B, Hkv, 2, T]
+            P(b, "tensor", None, None),   # packed K [B, Hkv, T//2, D]
+            P(b, "tensor", None),         # K scales [B, 8*Hkv, T//2]
             P(b, "tensor", None, None),   # packed V
-            P(b, "tensor", None, None),   # V scales
+            P(b, "tensor", None),         # V scales
             _scalar_spec(mesh, cs),
         ),
         out_specs=P(b, None, "tensor", None),

@@ -40,20 +40,50 @@ def test_int4_extremes_and_constants():
     np.testing.assert_allclose(np.asarray(x2), 3.5, atol=2e-2)
 
 
-@pytest.mark.parametrize("S,cs_val", [(64, 100), (1, 300), (1, 0)])
+def test_int4_paired_roundtrip():
+    from duo_attention_tpu.ops.quant import (
+        dequantize_int4_paired,
+        quantize_int4_paired,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 3, 64, 32), jnp.float32)
+    packed2, scales4 = quantize_int4_paired(x)
+    assert packed2.shape == (2, 3, 32, 32) and packed2.dtype == jnp.uint8
+    assert scales4.shape == (2, 3, 4, 32)
+    x2 = dequantize_int4_paired(packed2, scales4)
+    step = (x.max(-1) - x.min(-1)) / 15.0
+    err = jnp.max(jnp.abs(x - x2), axis=-1)
+    assert bool(jnp.all(err <= step * 0.51 + 2e-2))
+    # paired and flat layouts decode to the same values
+    packed, scales = quantize_int4(x)
+    np.testing.assert_allclose(
+        np.asarray(x2), np.asarray(dequantize_int4(packed, scales)), atol=2e-2
+    )
+
+
+@pytest.mark.parametrize("S,cs_val", [(64, 100), (1, 300), (1, 301), (1, 0)])
 def test_q4_attention_matches_dequant_oracle(S, cs_val):
+    from duo_attention_tpu.ops.quant import (
+        dequantize_int4_paired,
+        quantize_int4_paired,
+    )
+
     B, Hq, Hkv, D, T = 1, 4, 2, 32, 512
     keys = jax.random.split(jax.random.PRNGKey(1), 3)
     q = jax.random.normal(keys[0], (B, S, Hq, D), jnp.float32)
     k = jax.random.normal(keys[1], (B, Hkv, T, D), jnp.float32)
     v = jax.random.normal(keys[2], (B, Hkv, T, D), jnp.float32)
-    kq, ks = quantize_int4(k)
-    vq, vs = quantize_int4(v)
+    kq, ks4 = quantize_int4_paired(k)  # [B,H,T/2,D], [B,H,4,T/2]
+    vq, vs4 = quantize_int4_paired(v)
+    from duo_attention_tpu.ops.quant import paired_scales_to_cache_layout
+
+    ks = paired_scales_to_cache_layout(ks4)  # [B, 8*Hkv, T//2]
+    vs = paired_scales_to_cache_layout(vs4)
     cs = jnp.asarray(cs_val, jnp.int32)
     got = full_cache_attention_q4(q, kq, ks, vq, vs, cs)
 
-    kd = dequantize_int4(kq, ks)
-    vd = dequantize_int4(vq, vs)
+    kd = dequantize_int4_paired(kq, ks4)
+    vd = dequantize_int4_paired(vq, vs4)
     positions = cs + jnp.arange(S, dtype=jnp.int32)
     mask = full_mask(positions, T)[None, None]
     want = masked_attention(
@@ -183,3 +213,28 @@ def test_w8a8_linear_pallas_path_matches_small_path():
         np.testing.assert_allclose(
             np.asarray(big[:, idx]), np.asarray(r[:, 0]), rtol=1e-5, atol=1e-5
         )
+
+
+def test_int8_embeddings_forward():
+    import jax
+
+    from duo_attention_tpu.config import TINY_GQA
+    from duo_attention_tpu.models import llama
+    from duo_attention_tpu.ops.quant import quantize_embeddings_int8
+
+    cfg = TINY_GQA
+    params = llama.init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    qp = quantize_embeddings_int8(dict(params))
+    assert "embed_q8" in qp and "embed" not in qp
+    assert "lm_head_q8" in qp and "lm_head" not in qp
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 24)))
+    h_ref = llama.forward_full_attention(params, cfg, ids)
+    h_q = llama.forward_full_attention(qp, cfg, ids)
+    # int8 embeds perturb activations mildly; outputs must stay close
+    ref = np.asarray(h_ref)
+    err = np.abs(np.asarray(h_q) - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert err < 0.05, err
+    logits = llama.logits_at(qp, h_q, 5)
+    assert logits.shape == (1, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
