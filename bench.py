@@ -38,11 +38,14 @@ def build(num_layers, ctx_len, sparsity, chunk=8192, w8a8=False, kv_quant="none"
         max_cache_size=ctx_len,
         prefill_chunk_size=chunk,
     )
-    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     if w8a8:
-        from duo_attention_tpu.ops.quant import quantize_params_w8a8
+        # layer-streaming init+quantize: a deep bf16 model would not fit
+        # the chip alongside its int8 copy (demo.py does the same)
+        from duo_attention_tpu.ops.quant import init_params_w8a8
 
-        params = quantize_params_w8a8(params)
+        params = init_params_w8a8(cfg, jax.random.PRNGKey(0))
+    else:
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     eng = DuoEngine(
         params, cfg, duo, batch_size=1, dtype=jnp.bfloat16, kv_quant=kv_quant
     )

@@ -127,11 +127,15 @@ def write_full(buf: jnp.ndarray, incoming: jnp.ndarray, start) -> jnp.ndarray:
     start: traced scalar (all rows aligned) or [B] vector (continuous
     batching — every sequence appends at its own live length)."""
     start = jnp.asarray(start)
-    if start.ndim == 0:
-        return jax.lax.dynamic_update_slice(buf, incoming, (0, 0, start, 0))
-    return jax.vmap(
-        lambda b, x, s: jax.lax.dynamic_update_slice(b, x, (0, s, 0))
-    )(buf, incoming, start)
+    if incoming.shape[2] == 1:
+        # Decode: a Pallas in-place row write. XLA's dus/scatter inside
+        # the decode loop forces whole-buffer layout-conversion copies
+        # every step (see ops/inplace.py) — the kernel touches one slab.
+        from .ops.inplace import write_row
+
+        return write_row(buf, incoming, start)
+    assert start.ndim == 0, "ragged prefill writes unsupported"
+    return jax.lax.dynamic_update_slice(buf, incoming, (0, 0, start, 0))
 
 
 def write_streaming(
@@ -148,15 +152,16 @@ def write_streaming(
     S = k_new.shape[2]
     R = k_ring.shape[2]
     start = jnp.asarray(start)
-    if start.ndim == 1:  # per-sequence starts: vmap the scalar-start path
-        fn = jax.vmap(
-            lambda ks, vs, kr, vr, kn, vn, s: write_streaming(
-                ks[None], vs[None], kr[None], vr[None], kn[None], vn[None],
-                s, sink_size,
-            )
+    if S == 1:
+        # Decode: fused Pallas in-place writes (sink slot min(start, sink),
+        # ring slot start % R). An XLA dus here forces whole-buffer layout
+        # copies every step — see ops/inplace.py.
+        from .ops.inplace import write_streaming_rows
+
+        return write_streaming_rows(
+            k_sink, v_sink, k_ring, v_ring, k_new, v_new, start, sink_size
         )
-        ks, vs, kr, vr = fn(k_sink, v_sink, k_ring, v_ring, k_new, v_new, start)
-        return ks[:, 0], vs[:, 0], kr[:, 0], vr[:, 0]
+    assert start.ndim == 0, "ragged streaming prefill writes unsupported"
     # Sink region: single dynamic_update_slice at min(start, sink). If the
     # chunk is entirely past the sink, it lands in the overflow pad (slots
     # >= sink are never visible).
@@ -164,14 +169,9 @@ def write_streaming(
     k_sink = jax.lax.dynamic_update_slice(k_sink, k_new, (0, 0, sink_off, 0))
     v_sink = jax.lax.dynamic_update_slice(v_sink, v_new, (0, 0, sink_off, 0))
 
-    if S == 1:
-        slot = (start % R).astype(jnp.int32)
-        k_ring = jax.lax.dynamic_update_slice(k_ring, k_new, (0, 0, slot, 0))
-        v_ring = jax.lax.dynamic_update_slice(v_ring, v_new, (0, 0, slot, 0))
-    else:
-        idx = (start + jnp.arange(S, dtype=jnp.int32)) % R  # [S]
-        k_ring = k_ring.at[:, :, idx].set(k_new)
-        v_ring = v_ring.at[:, :, idx].set(v_new)
+    idx = (start + jnp.arange(S, dtype=jnp.int32)) % R  # [S]
+    k_ring = k_ring.at[:, :, idx].set(k_new)
+    v_ring = v_ring.at[:, :, idx].set(v_new)
     return k_sink, v_sink, k_ring, v_ring
 
 
@@ -330,34 +330,26 @@ def write_full_q4(buf_q, buf_s, incoming, start):
     half-row at any parity. start: scalar or per-sequence [B] vector
     (vector only for S == 1, the serving decode path).
     """
-    from .ops.quant import quantize_int4, quantize_int4_paired
+    from .ops.quant import quantize_int4_nibbles, quantize_int4_paired
 
     B, H, S, D = incoming.shape
     T2 = buf_q.shape[2]
     start = jnp.asarray(start)
 
     if S == 1:
-        packed, scales = quantize_int4(incoming)  # [B,H,1,D/2], [B,H,2,1]
-        scales = scales.astype(buf_s.dtype)
-        bs4 = buf_s.reshape(B, H, 8, T2)  # same memory layout
+        # Nibble-interleaved pairs: the token shares each byte of its row
+        # with its pair partner — an in-place Pallas RMW of the row's
+        # nibble and scale columns. An XLA dus/scatter here forces
+        # whole-buffer layout-conversion copies every decode step
+        # (profiled: 33 ms/step = 62% of 131k decode; see ops/inplace.py).
+        from .ops.inplace import write_q4_token
 
-        def write_one(bq, bs, pk, sc, t):
-            # bq [H,T2,D]; bs [H,4,T2]; pk [H,1,D/2]; sc [H,2,1]
-            par = t % 2
-            bq = jax.lax.dynamic_update_slice(
-                bq, pk, (0, t // 2, par * (D // 2))
-            )
-            bs = jax.lax.dynamic_update_slice(
-                bs, sc[:, 0:1, :], (0, par, t // 2)
-            )
-            bs = jax.lax.dynamic_update_slice(
-                bs, sc[:, 1:2, :], (0, 2 + par, t // 2)
-            )
-            return bq, bs
-
-        starts = start if start.ndim == 1 else jnp.broadcast_to(start, (B,))
-        bq, bs4 = jax.vmap(write_one)(buf_q, bs4, packed, scales, starts)
-        return bq, bs4.reshape(B, 8 * H, T2)
+        nib, scales = quantize_int4_nibbles(incoming)  # [B,H,1,D], [B,H,2,1]
+        bq, bs8 = write_q4_token(
+            buf_q, buf_s.reshape(B, H, 8, T2),
+            nib, scales.astype(buf_s.dtype), start,
+        )
+        return bq, bs8.reshape(B, 8 * H, T2)
 
     assert start.ndim == 0, "batched ragged q4 prefill writes unsupported"
     packed2, scales4 = quantize_int4_paired(incoming)

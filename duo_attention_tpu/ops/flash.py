@@ -107,36 +107,53 @@ class _OnlineSoftmax:
         )
 
     def update_q4(self, q, kp, ks, vp, vs, mask=None):
-        """INT4 variant: dequantization folded into score/output rescaling.
+        """INT4 variant: all heavy math on the MXU in int8, dequantization
+        folded into score/output rescaling.
 
         Token-paired storage (ops/quant.py layout note): kp/vp [bk//2, D]
-        uint8 — row r holds the packed nibbles of tokens 2r and 2r+1 of
-        the block; ks/vs [4, bk//2] = (scale_even, scale_odd, zp_even,
-        zp_odd). The block is processed in "even tokens then odd tokens"
-        row order — softmax is permutation-invariant, the caller's mask
-        must use the matching eo column positions. Math: with
-        K = Kq*s_t + z_t,
-          scores[i,t] = s_t * (q_i . Kq_t) + z_t * sum_d(q_i,d)
-          out = (p * s_t) @ Vq + (p . z_t) * 1_D
-        so the integer tensors go straight to the MXU and no dequantized
-        block is ever materialized (cf. demo/int4_kv.py:373-436).
+        uint8 — byte (r, d) holds channel d of token 2r in its low nibble
+        and of token 2r+1 in its high nibble; ks/vs [4, bk//2] =
+        (scale_even, scale_odd, zp_even, zp_odd). The block is processed
+        as [even tokens | odd tokens] column order — softmax is
+        permutation-invariant, the caller's mask must use the matching eo
+        column positions.
+
+        Why int8: a VPU unpack (u8 -> i32 widen -> mask/shift -> bf16)
+        touches every 4-bit value with 32-bit ops and leaves decode
+        attention VPU-bound at ~15% of the HBM roofline (measured 19-26
+        tok/s where bandwidth alone allows ~77). Instead the raw nibble
+        planes go STRAIGHT to the MXU as int8 and the query/probability
+        rows are quantized to int8 per row (the reference's own W8A8
+        numeric contract, demo/w8a8kv4_llama.py):
+          even plane: kp & 0x0F               (= even nibble, 0..15)
+          odd  plane: (kp & 0xF0) ^ 0x80      (= 16*odd - 128 as int8)
+        so  q8 . odd = ((q8 . odd_plane) + 128*rowsum(q8)) >> 4
+        — two 1-byte VPU ops per plane, no shift-by-4 anywhere (Mosaic
+        has no u8/i16 shifts), and the MXU runs at its 2x int8 rate.
+        Dequant math: with K = Kq*s_t + z_t and q ~= q_sc * q8,
+          scores[i,t] = q_sc*s_t*(q8_i . Kq_t) + z_t * sum_d(q_i,d)
+          out = p_sc * (p8 @ Vq) + (p . z_t) * 1_D
+        (cf. demo/int4_kv.py:373-436 — the reference dequantizes to fp16
+        buffers first; here no dequantized block is ever materialized).
         """
         rows, D = q.shape
-        D2 = D // 2
+        half = kp.shape[0]
 
-        def unpack_eo(packed):
-            # [bk//2, D] u8 -> [bk, D] in even/odd row order. Mosaic has
-            # no uint8 shifts/casts to bf16 (and cannot legalize i16
-            # shifts); widen to int32 first.
-            p32 = packed.astype(jnp.int32)
-            even, odd = p32[:, :D2], p32[:, D2:]
+        def nibble_planes(packed):
+            # [bk//2, D] u8 -> (even, odd_biased) int8 planes, bit-exact:
+            # even = nibble, odd_biased = 16*nibble - 128.
+            return (
+                jax.lax.bitcast_convert_type(packed & 0x0F, jnp.int8),
+                jax.lax.bitcast_convert_type((packed & 0xF0) ^ 0x80, jnp.int8),
+            )
 
-            def unp(b):
-                lo = (b & 0xF).astype(q.dtype)
-                hi = ((b >> 4) & 0xF).astype(q.dtype)
-                return jnp.concatenate([lo, hi], axis=-1)
-
-            return jnp.concatenate([unp(even), unp(odd)], axis=0)
+        def quant_rows(x):
+            # [rows, n] f32 -> per-row symmetric int8 (+ scale column).
+            amax = jnp.maximum(
+                jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-30
+            )
+            x8 = jnp.round(x * (127.0 / amax)).astype(jnp.int8)
+            return x8, amax * (1.0 / 127.0)
 
         def scales_eo(s4):
             # [4, bk//2] -> scale [1, bk], zp [1, bk] in eo column order.
@@ -155,13 +172,23 @@ class _OnlineSoftmax:
             zp = jnp.concatenate([row(2), row(3)], axis=-1)
             return sc, zp
 
-        kq = unpack_eo(kp)  # [bk, D]
+        ke8, ko8 = nibble_planes(kp)  # each [bk//2, D] int8
         k_scale, k_zp = scales_eo(ks)
-        s_int = jax.lax.dot_general(
-            q, kq, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qf = q.astype(jnp.float32)
+        q8, q_sc = quant_rows(qf)
+        q8_rowsum = jnp.sum(q8.astype(jnp.int32), axis=-1, keepdims=True)
+        dims = (((1,), (1,)), ((), ()))
+        me = jax.lax.dot_general(
+            q8, ke8, dims, preferred_element_type=jnp.int32
         )
-        q_rowsum = jnp.sum(q.astype(jnp.float32), axis=-1, keepdims=True)
-        s = (s_int * k_scale + q_rowsum * k_zp) * self.scale
+        mo = jax.lax.dot_general(
+            q8, ko8, dims, preferred_element_type=jnp.int32
+        )
+        s_int = jnp.concatenate(
+            [me, (mo + 128 * q8_rowsum) >> 4], axis=1
+        ).astype(jnp.float32)  # [rows, bk] = q8 . Kq in eo column order
+        q_rowsum = jnp.sum(qf, axis=-1, keepdims=True)
+        s = (s_int * (q_sc * k_scale) + q_rowsum * k_zp) * self.scale
         if mask is not None:
             s = jnp.where(mask, s, NEG_INF)
 
@@ -179,10 +206,25 @@ class _OnlineSoftmax:
         self.m[...] = m_next
         self.l[...] = l_next
 
-        vq = unpack_eo(vp)  # [bk, D]
+        ve8, vo8 = nibble_planes(vp)
         v_scale, v_zp = scales_eo(vs)
-        p_scaled = (p * v_scale).astype(q.dtype)
-        contrib = jax.lax.dot(p_scaled, vq, preferred_element_type=jnp.float32)
+
+        def halves_dot(x8):
+            # [rows, bk] int8 @ dequantized nibbles -> [rows, D] f32.
+            xe, xo = x8[:, :half], x8[:, half:]
+            xo_rs = jnp.sum(xo.astype(jnp.int32), axis=-1, keepdims=True)
+            ce = jax.lax.dot(xe, ve8, preferred_element_type=jnp.int32)
+            co = jax.lax.dot(xo, vo8, preferred_element_type=jnp.int32)
+            return (ce + ((co + 128 * xo_rs) >> 4)).astype(jnp.float32)
+
+        # Two-digit int8 quantization of the probability rows: a single
+        # int8 digit rounds every p at the block-max granularity and the
+        # error accumulates ~sqrt(T) over tokens — the residual digit
+        # drops it ~250x for two more (HBM-free) MXU matmuls.
+        ps = p * v_scale
+        p8, p_sc = quant_rows(ps)
+        r8, r_sc = quant_rows(ps - p8.astype(jnp.float32) * p_sc)
+        contrib = halves_dot(p8) * p_sc + halves_dot(r8) * r_sc
         zp_term = jnp.sum(p * v_zp, axis=1, keepdims=True)  # [rows, 1]
         self.acc[...] = self.acc[...] * alpha[:, :D] + contrib + zp_term
 

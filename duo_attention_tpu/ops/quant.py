@@ -33,27 +33,34 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
-def quantize_int4(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Quantize [..., T, D] to packed nibbles + per-(...,T) scale/zp.
-
-    Returns (packed [..., T, D//2] uint8, scales [..., 2, T] float32-ish
-    stored in x.dtype-compatible bf16): scales[..., 0, t]=scale,
-    scales[..., 1, t]=zero_point.
-    """
-    D = x.shape[-1]
-    assert D % 2 == 0
+def quantize_int4_nibbles(x: jnp.ndarray):
+    """[..., T, D] -> (nibbles [..., T, D] uint8 in 0..15,
+    scales [..., 2, T]: row 0 scale, row 1 zero-point)."""
     xf = x.astype(jnp.float32)
     mn = jnp.min(xf, axis=-1, keepdims=True)
     mx = jnp.max(xf, axis=-1, keepdims=True)
     scale = (mx - mn) / 15.0 + 1e-8
     q = jnp.clip(jnp.round((xf - mn) / scale), 0, 15).astype(jnp.uint8)
+    scales = jnp.stack([scale[..., 0], mn[..., 0]], axis=-2)  # [..., 2, T]
+    return q, scales.astype(jnp.bfloat16)
+
+
+def quantize_int4(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize [..., T, D] to packed nibbles + per-(...,T) scale/zp.
+
+    Returns (packed [..., T, D//2] uint8, scales [..., 2, T] float32-ish
+    stored in x.dtype-compatible bf16): scales[..., 0, t]=scale,
+    scales[..., 1, t]=zero_point. Channel-plane packing (byte d = chan d
+    low nibble | chan d+D/2 high) — the flat layout used by tests/oracles;
+    the cache uses the token-paired layout below.
+    """
+    D = x.shape[-1]
+    assert D % 2 == 0
+    q, scales = quantize_int4_nibbles(x)
     lo = q[..., : D // 2]
     hi = q[..., D // 2 :]
     packed = (lo | (hi << 4)).astype(jnp.uint8)
-    scales = jnp.stack(
-        [scale[..., 0], mn[..., 0]], axis=-2
-    )  # [..., 2, T]
-    return packed, scales.astype(jnp.bfloat16)
+    return packed, scales
 
 
 def dequantize_int4(packed: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
@@ -77,28 +84,36 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
 #
 # A packed token row is D//2 = 64 bytes; stored as [..., T, 64] the TPU pads
 # the 64-lane dim to 128 (2x HBM, and XLA then compresses/uncompresses the
-# buffer with extra copies). The cache therefore stores TOKEN PAIRS:
-#   packed2 [..., T//2, 128]: row r = [bytes of token 2r | bytes of token 2r+1]
-#   scales4 [..., 4, T//2]:  rows = (scale_even, scale_odd, zp_even, zp_odd)
-# Both shapes are exactly tile-aligned (128 lanes; the 4-row scale block is
-# grouped per head into a [4*H, T//2] buffer by the cache). The attention
-# kernels unpack a block into "even tokens then odd tokens" row order —
-# online softmax is permutation-invariant over KV positions, so only the
-# in-kernel position iota changes (ops/flash.py).
+# buffer with extra copies). The cache therefore stores TOKEN PAIRS with
+# NIBBLE-INTERLEAVED packing:
+#   packed2 [..., T//2, D]: byte (r, d) = q4(token 2r, chan d)
+#                                       | q4(token 2r+1, chan d) << 4
+#   scales4 [..., 4, T//2]: rows = (scale_even, scale_odd, zp_even, zp_odd)
+# Both shapes are exactly tile-aligned (128 lanes; scale rows are grouped
+# per head into 8-row groups by the cache). Interleaving tokens at the
+# NIBBLE level makes the kernel unpack trivial: ``p & 0xF`` is the even
+# token's full channel row and ``p >> 4`` the odd token's — no lane
+# slicing, channel concat, or sublane concat (ops/flash.py processes the
+# two halves as separate matmuls; online softmax is permutation-invariant
+# over KV positions, so only the position iota changes).
 
 
 def quantize_int4_paired(x: jnp.ndarray):
     """[..., S, D] (S even) -> (packed2 [..., S//2, D], scales4 [..., 4, S//2])."""
-    S = x.shape[-2]
+    S, D = x.shape[-2], x.shape[-1]
     assert S % 2 == 0, f"token-paired int4 needs even S, got {S}"
-    packed, scales = quantize_int4(x)  # [..., S, D//2], [..., 2, S]
-    D2 = packed.shape[-1]
-    packed2 = packed.reshape(*packed.shape[:-2], S // 2, 2 * D2)
-    scale, zp = scales[..., 0, :], scales[..., 1, :]
+    xf = x.astype(jnp.float32)
+    mn = jnp.min(xf, axis=-1, keepdims=True)
+    mx = jnp.max(xf, axis=-1, keepdims=True)
+    scale = (mx - mn) / 15.0 + 1e-8
+    q = jnp.clip(jnp.round((xf - mn) / scale), 0, 15).astype(jnp.uint8)
+    even, odd = q[..., 0::2, :], q[..., 1::2, :]  # [..., S//2, D]
+    packed2 = (even | (odd << 4)).astype(jnp.uint8)
+    scale, zp = scale[..., 0], mn[..., 0]  # [..., S]
     scales4 = jnp.stack(
         [scale[..., 0::2], scale[..., 1::2], zp[..., 0::2], zp[..., 1::2]],
         axis=-2,
-    )  # [..., 4, S//2]
+    ).astype(jnp.bfloat16)  # [..., 4, S//2]
     return packed2, scales4
 
 
@@ -115,15 +130,18 @@ def paired_scales_to_cache_layout(scales4: jnp.ndarray) -> jnp.ndarray:
 def dequantize_int4_paired(packed2: jnp.ndarray, scales4: jnp.ndarray):
     """Inverse of quantize_int4_paired: -> [..., S, D] float32."""
     *lead, half_s, D = packed2.shape
-    packed = packed2.reshape(*lead, half_s * 2, D // 2)
+    even = (packed2 & 0xF).astype(jnp.float32)  # [..., S//2, D]
+    odd = (packed2 >> 4).astype(jnp.float32)
+    q = jnp.stack([even, odd], axis=-2).reshape(*lead, half_s * 2, D)
     scale = jnp.stack(
         [scales4[..., 0, :], scales4[..., 1, :]], axis=-1
     ).reshape(*lead, half_s * 2)
     zp = jnp.stack(
         [scales4[..., 2, :], scales4[..., 3, :]], axis=-1
     ).reshape(*lead, half_s * 2)
-    scales = jnp.stack([scale, zp], axis=-2)  # [..., 2, S]
-    return dequantize_int4(packed, scales)
+    return q * scale[..., None].astype(jnp.float32) + zp[..., None].astype(
+        jnp.float32
+    )
 
 
 # ---------------------------------------------------------------------------
