@@ -65,10 +65,11 @@ def main():
         nf = num_full_kv_heads_per_layer(heads)[: cfg.num_layers]
     else:
         nf = (round(cfg.num_kv_heads * (1 - args.sparsity)),) * cfg.num_layers
-    # x2048 so the decode kernels get their preferred 2048-token KV blocks
-    # (a non-divisible buffer falls back to 512 blocks — ~4x slower decode
-    # attention at this scale)
-    max_cache = -(-(args.target_len + args.max_new_tokens + 1024) // 2048) * 2048
+    # x8192 so the decode kernels get their preferred block sizes (8192
+    # tokens for the packed INT4 path, 2048 for bf16 — both ~512KB DMA
+    # blocks; a non-divisible buffer falls back to small blocks, several
+    # times slower decode attention at this scale)
+    max_cache = -(-(args.target_len + args.max_new_tokens + 1024) // 8192) * 8192
     duo = DuoConfig(
         sink_size=sink,
         recent_size=recent,
