@@ -172,23 +172,52 @@ class _OnlineSoftmax:
             zp = jnp.concatenate([row(2), row(3)], axis=-1)
             return sc, zp
 
-        ke8, ko8 = nibble_planes(kp)  # each [bk//2, D] int8
+        # Mode split (static on the tile shape): with few query rows
+        # (decode) the per-pair epilogue is negligible and the win is
+        # feeding raw bytes to the MXU as int8; with many rows (prefill)
+        # the kernel is VPU-bound on the [rows, bk] elementwise chain
+        # (profiled ~12 f32 ops/pair = 98% of chunked prefill), so the
+        # planes are unpacked to bf16 ONCE per block (amortized over bq
+        # rows) and p stays exact bf16 — no q/p quantization passes.
+        prefill_mode = rows >= 128
+        dims = (((1,), (1,)), ((), ()))
         k_scale, k_zp = scales_eo(ks)
         qf = q.astype(jnp.float32)
-        q8, q_sc = quant_rows(qf)
-        q8_rowsum = jnp.sum(q8.astype(jnp.int32), axis=-1, keepdims=True)
-        dims = (((1,), (1,)), ((), ()))
-        me = jax.lax.dot_general(
-            q8, ke8, dims, preferred_element_type=jnp.int32
-        )
-        mo = jax.lax.dot_general(
-            q8, ko8, dims, preferred_element_type=jnp.int32
-        )
-        s_int = jnp.concatenate(
-            [me, (mo + 128 * q8_rowsum) >> 4], axis=1
-        ).astype(jnp.float32)  # [rows, bk] = q8 . Kq in eo column order
         q_rowsum = jnp.sum(qf, axis=-1, keepdims=True)
-        s = (s_int * (q_sc * k_scale) + q_rowsum * k_zp) * self.scale
+
+        def unpack_bf16(packed):
+            # u8 -> i32 widen -> two bf16 nibble planes (Mosaic has no u8
+            # shifts/casts); ~4 VPU ops per byte, amortized over bq rows.
+            p32 = packed.astype(jnp.int32)
+            return (
+                (p32 & 0xF).astype(q.dtype),
+                ((p32 >> 4) & 0xF).astype(q.dtype),
+            )
+
+        if prefill_mode:
+            ke, ko = unpack_bf16(kp)
+            me = jax.lax.dot_general(
+                q, ke, dims, preferred_element_type=jnp.float32
+            )
+            mo = jax.lax.dot_general(
+                q, ko, dims, preferred_element_type=jnp.float32
+            )
+            s_int = jnp.concatenate([me, mo], axis=1)  # eo column order
+            s = (s_int * k_scale + q_rowsum * k_zp) * self.scale
+        else:
+            ke8, ko8 = nibble_planes(kp)  # each [bk//2, D] int8
+            q8, q_sc = quant_rows(qf)
+            q8_rowsum = jnp.sum(q8.astype(jnp.int32), axis=-1, keepdims=True)
+            me = jax.lax.dot_general(
+                q8, ke8, dims, preferred_element_type=jnp.int32
+            )
+            mo = jax.lax.dot_general(
+                q8, ko8, dims, preferred_element_type=jnp.int32
+            )
+            s_int = jnp.concatenate(
+                [me, (mo + 128 * q8_rowsum) >> 4], axis=1
+            ).astype(jnp.float32)  # [rows, bk] = q8 . Kq in eo column order
+            s = (s_int * (q_sc * k_scale) + q_rowsum * k_zp) * self.scale
         if mask is not None:
             s = jnp.where(mask, s, NEG_INF)
 
@@ -206,25 +235,34 @@ class _OnlineSoftmax:
         self.m[...] = m_next
         self.l[...] = l_next
 
-        ve8, vo8 = nibble_planes(vp)
         v_scale, v_zp = scales_eo(vs)
+        if prefill_mode:
+            ve, vo = unpack_bf16(vp)
+            ps = (p * v_scale).astype(q.dtype)
+            contrib = jax.lax.dot(
+                ps[:, :half], ve, preferred_element_type=jnp.float32
+            ) + jax.lax.dot(
+                ps[:, half:], vo, preferred_element_type=jnp.float32
+            )
+        else:
+            ve8, vo8 = nibble_planes(vp)
 
-        def halves_dot(x8):
-            # [rows, bk] int8 @ dequantized nibbles -> [rows, D] f32.
-            xe, xo = x8[:, :half], x8[:, half:]
-            xo_rs = jnp.sum(xo.astype(jnp.int32), axis=-1, keepdims=True)
-            ce = jax.lax.dot(xe, ve8, preferred_element_type=jnp.int32)
-            co = jax.lax.dot(xo, vo8, preferred_element_type=jnp.int32)
-            return (ce + ((co + 128 * xo_rs) >> 4)).astype(jnp.float32)
+            def halves_dot(x8):
+                # [rows, bk] int8 @ dequantized nibbles -> [rows, D] f32.
+                xe, xo = x8[:, :half], x8[:, half:]
+                xo_rs = jnp.sum(xo.astype(jnp.int32), axis=-1, keepdims=True)
+                ce = jax.lax.dot(xe, ve8, preferred_element_type=jnp.int32)
+                co = jax.lax.dot(xo, vo8, preferred_element_type=jnp.int32)
+                return (ce + ((co + 128 * xo_rs) >> 4)).astype(jnp.float32)
 
-        # Two-digit int8 quantization of the probability rows: a single
-        # int8 digit rounds every p at the block-max granularity and the
-        # error accumulates ~sqrt(T) over tokens — the residual digit
-        # drops it ~250x for two more (HBM-free) MXU matmuls.
-        ps = p * v_scale
-        p8, p_sc = quant_rows(ps)
-        r8, r_sc = quant_rows(ps - p8.astype(jnp.float32) * p_sc)
-        contrib = halves_dot(p8) * p_sc + halves_dot(r8) * r_sc
+            # Two-digit int8 quantization of the probability rows: a single
+            # int8 digit rounds every p at the block-max granularity and the
+            # error accumulates ~sqrt(T) over tokens — the residual digit
+            # drops it ~250x for two more (HBM-free) MXU matmuls.
+            ps = p * v_scale
+            p8, p_sc = quant_rows(ps)
+            r8, r_sc = quant_rows(ps - p8.astype(jnp.float32) * p_sc)
+            contrib = halves_dot(p8) * p_sc + halves_dot(r8) * r_sc
         zp_term = jnp.sum(p * v_zp, axis=1, keepdims=True)  # [rows, 1]
         self.acc[...] = self.acc[...] * alpha[:, :D] + contrib + zp_term
 
@@ -364,8 +402,10 @@ def full_cache_attention(
         )(cs, qg, k, v)
         return out.reshape(B, 1, Hq, D)
 
-    bq = block_q or _pick_block(S, (512, 256, 128))
-    bk = block_k or _pick_block(T)
+    # Large tiles amortize per-grid-step overhead (measured: 1024/2048
+    # is 1.48x over 512/512 at 196k ctx; 2048/2048 exceeds scoped VMEM).
+    bq = block_q or _pick_block(S, (1024, 512, 256, 128))
+    bk = block_k or _pick_block(T, (2048, 1024, 512, 256, 128))
     span = T if bucket == 0 else min(_round_up(bucket, bk), T)
     n_kv = max(span // bk, 1)
     n_q = S // bq
@@ -549,8 +589,10 @@ def full_cache_attention_q4(
         )(cs, qg, k_packed, k_scales, v_packed, v_scales)
         return out.reshape(B, 1, Hq, D)
 
-    bq = block_q or _pick_block(S, (512, 256, 128))
-    bk = block_k or _pick_block(T)
+    # Large tiles amortize per-grid-step overhead (measured: 1024/2048
+    # is 1.48x over 512/512 at 196k ctx; 2048/2048 exceeds scoped VMEM).
+    bq = block_q or _pick_block(S, (1024, 512, 256, 128))
+    bk = block_k or _pick_block(T, (2048, 1024, 512, 256, 128))
     span = T if bucket == 0 else min(_round_up(bucket, bk), T)
     n_kv = max(span // bk, 1)
     n_q = S // bq

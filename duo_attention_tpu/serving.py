@@ -98,6 +98,7 @@ class ServingEngine:
         dtype=jnp.bfloat16,
         attn_impl: str = "auto",
         kv_quant: str = "none",
+        decode_burst: int = 1,
     ):
         from .engine import DuoEngine, _next_bucket
 
@@ -129,6 +130,13 @@ class ServingEngine:
         self._decode_fns = {}
         self._splice = jax.jit(_row_cache_to_batch, donate_argnums=(0,))
         self._next_bucket = _next_bucket
+        # Burst decoding: scan N decode steps inside ONE jit call and
+        # detect stops afterwards (Orca-style iteration batching, but the
+        # scheduler only intervenes every N tokens). Sequences that finish
+        # mid-burst cost a few wasted steps — their surplus tokens are
+        # trimmed on the host. Essential when dispatch latency is
+        # non-trivial (remote runtimes) and still ~free locally.
+        self.decode_burst = max(int(decode_burst), 1)
 
     # -- public API ---------------------------------------------------------
 
@@ -171,37 +179,67 @@ class ServingEngine:
         self.slots[slot] = req
         self._maybe_finish(slot)
 
-    def _decode_fn(self, bucket):
-        if bucket not in self._decode_fns:
-            self._decode_fns[bucket] = jax.jit(
-                functools.partial(
-                    _batched_decode_step,
-                    cfg=self.cfg,
-                    duo=self.duo,
-                    attn_impl=self.attn_impl,
-                    full_bucket=bucket,
-                ),
-                donate_argnums=(1,),
+    def _decode_fn(self, bucket, steps=1):
+        key = (bucket, steps)
+        if key not in self._decode_fns:
+            one = functools.partial(
+                _batched_decode_step,
+                cfg=self.cfg,
+                duo=self.duo,
+                attn_impl=self.attn_impl,
+                full_bucket=bucket,
             )
-        return self._decode_fns[bucket]
+
+            def burst(params, cache, tokens, active):
+                def body(carry, _):
+                    toks, cache = carry
+                    toks, cache = one(params, cache, toks, active)
+                    return (toks, cache), toks
+
+                (tokens, cache), seq = jax.lax.scan(
+                    body, (tokens, cache), None, length=steps
+                )
+                return tokens, cache, seq.T  # [B, steps]
+
+            self._decode_fns[key] = jax.jit(burst, donate_argnums=(1,))
+        return self._decode_fns[key]
 
     def _decode_step(self):
         active_np = np.array([r is not None for r in self.slots])
+        maxlen = int(self.lengths.max())
+        # don't let a burst run past the cache or (when all live requests
+        # would finish sooner) past the last useful token
+        budget_left = max(
+            r.max_new_tokens - len(r.generated)
+            for r in self.slots
+            if r is not None
+        )
+        steps = max(
+            min(
+                self.decode_burst,
+                self.duo.max_cache_size - 1 - maxlen,
+                budget_left,
+            ),
+            1,
+        )
         bucket = min(
-            self._next_bucket(int(self.lengths.max()) + 1),
+            self._next_bucket(maxlen + steps),
             self.duo.max_cache_size,
         )
-        fn = self._decode_fn(bucket)
-        self.tokens, self.cache = fn(
+        fn = self._decode_fn(bucket, steps)
+        self.tokens, self.cache, seq = fn(
             self.params, self.cache, self.tokens, jnp.asarray(active_np)
         )
-        toks = np.asarray(self.tokens)
+        seq = np.asarray(seq)  # [B, steps]
         for i, req in enumerate(self.slots):
             if req is None:
                 continue
-            self.lengths[i] += 1
-            req.generated.append(int(toks[i]))
-            self._maybe_finish(i)
+            self.lengths[i] += steps
+            for t in range(steps):
+                req.generated.append(int(seq[i, t]))
+                self._maybe_finish(i)
+                if self.slots[i] is None:  # finished mid-burst: trim rest
+                    break
 
     def _maybe_finish(self, slot: int):
         req = self.slots[slot]

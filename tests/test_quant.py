@@ -61,7 +61,12 @@ def test_int4_paired_roundtrip():
     )
 
 
-@pytest.mark.parametrize("S,cs_val", [(64, 100), (1, 300), (1, 301), (1, 0)])
+@pytest.mark.parametrize(
+    "S,cs_val",
+    [(64, 100), (256, 100), (1, 300), (1, 301), (1, 0)],
+    # S=256 exercises the bf16 prefill mode (rows >= 128), S=64/1 the int8
+    # decode mode of update_q4
+)
 def test_q4_attention_matches_dequant_oracle(S, cs_val):
     from duo_attention_tpu.ops.quant import (
         dequantize_int4_paired,

@@ -94,3 +94,27 @@ def test_batched_cache_lengths_advance_only_active(setup):
     # back), slots 1-2 untouched
     assert lengths[0] == 12 + 3
     assert lengths[1] == 0 and lengths[2] == 0
+
+
+def test_burst_decode_matches_single_step(setup):
+    """decode_burst=N is a pure scheduling change: same tokens out."""
+    params, cfg, duo = setup
+    rng = np.random.default_rng(7)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, (int(n),)).astype(np.int32)
+        for n in (21, 45, 60)
+    ]
+    results = {}
+    for burst in (1, 4):
+        serve = ServingEngine(
+            params, cfg, duo, max_batch_size=2, dtype=jnp.float32,
+            attn_impl="ref", decode_burst=burst,
+        )
+        for i, p in enumerate(prompts):
+            # stop token forces a mid-burst finish for at least one request
+            serve.submit(Request(rid=i, prompt_ids=p, max_new_tokens=9,
+                                 stop_token_ids=(3,)))
+        finished = serve.run()
+        assert len(finished) == len(prompts)
+        results[burst] = {r.rid: r.generated for r in finished}
+    assert results[1] == results[4]
