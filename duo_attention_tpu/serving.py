@@ -32,7 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cache import DuoCache, DuoCacheQ4, init_cache, init_cache_q4
+from .cache import (
+    DuoCache,
+    DuoCacheQ4,
+    init_cache,
+    init_cache_q4,
+    ring_slot_positions,
+)
 from .config import DuoConfig, ModelConfig
 from .models import llama
 
@@ -51,18 +57,35 @@ class Request:
 
 
 def _row_cache_to_batch(batch_cache, row_cache, slot):
-    """Splice a prefilled B=1 cache into batch row ``slot`` (jitted)."""
+    """Splice a prefilled B=1 cache into batch row ``slot`` (jitted).
+
+    The batch pool's streaming buffers are decode-only sized
+    (cache.ring_capacity(duo, decode_only=True)) — far smaller than the
+    admission engine's chunk-prefill buffers — so the sink is truncated
+    to the pool's rows and the ring is re-based: pool slot s receives the
+    token at the latest position g ≡ s (mod R_pool), read from the
+    admission ring at g % R_admission. Position arithmetic masks keep
+    working because both sides address slots by g mod their own R.
+    """
     updates = {}
+    length = row_cache.length
     for field in batch_cache._fields:
         val = getattr(batch_cache, field)
         if field == "length":
-            updates[field] = val.at[slot].set(row_cache.length)
+            updates[field] = val.at[slot].set(length)
             continue
         new_bufs = []
         for bb, rb in zip(val, getattr(row_cache, field)):
+            rb = rb.astype(bb.dtype)
+            if field in ("k_sink", "v_sink"):
+                rb = rb[:, :, : bb.shape[2]]
+            elif field in ("k_ring", "v_ring") and rb.shape[2] != bb.shape[2]:
+                g = ring_slot_positions(bb.shape[2], length)  # [R_pool]
+                src = jnp.clip(g, 0, None) % rb.shape[2]
+                rb = jnp.take(rb, src, axis=2)
             new_bufs.append(
                 jax.lax.dynamic_update_slice(
-                    bb, rb.astype(bb.dtype), (slot,) + (0,) * (bb.ndim - 1)
+                    bb, rb, (slot,) + (0,) * (bb.ndim - 1)
                 )
             )
         updates[field] = tuple(new_bufs)
@@ -118,7 +141,7 @@ class ServingEngine:
             attn_impl=self.attn_impl, kv_quant=kv_quant,
         )
         init = init_cache_q4 if kv_quant == "int4" else init_cache
-        self.cache = init(cfg, duo, max_batch_size, dtype)
+        self.cache = init(cfg, duo, max_batch_size, dtype, decode_only=True)
         self.cache = self.cache._replace(
             length=jnp.zeros((max_batch_size,), jnp.int32)
         )

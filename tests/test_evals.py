@@ -143,3 +143,19 @@ def test_longbench_predict_offline(tiny_engine, tmp_path):
     assert len(recs) == 1 and isinstance(recs[0]["pred"], str)
     s = score_file("hotpotqa", str(out))
     assert 0.0 <= s <= 100.0
+
+
+def test_bench_serving_smoke():
+    """Compact-pool serving bench runs on CPU and reports sane numbers."""
+    import dataclasses
+    from duo_attention_tpu.config import TINY_GQA, DuoConfig
+    from duo_attention_tpu.evals.efficiency import bench_serving
+
+    cfg = TINY_GQA
+    duo = DuoConfig(
+        sink_size=8, recent_size=16, num_full_kv_heads=(2, 1, 3),
+        max_cache_size=256, prefill_chunk_size=32,
+    )
+    agg, kv = bench_serving(cfg, duo, batch=2, ctx_len=256,
+                            kv_quant="none", steps=4, w8a8=False)
+    assert agg > 0 and kv > 0
