@@ -144,10 +144,17 @@ def main():
     tok_a, cache = fn(engine.params, cache, first)
     fence(tok_a)
     dt_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    tok_b, cache = fn(engine.params, cache, tok_a[:, -1])
-    fence(tok_b)
-    dt = time.perf_counter() - t0  # same compiled fn: steady-state
+    # best-of-3 steady calls: a single tunneled call can absorb transient
+    # dispatch hiccups an order above the real step time
+    dt = float("inf")
+    tok_b = tok_a
+    for i in range(3):
+        t0 = time.perf_counter()
+        tok_c, cache = fn(engine.params, cache, tok_b[:, -1])
+        fence(tok_c)
+        dt = min(dt, time.perf_counter() - t0)
+        if i == 0:
+            tok_b = tok_c
     tokens = np.concatenate([np.asarray(tok_a), np.asarray(tok_b)], axis=1)
     text = decode_ids(tokenizer, tokens[0])
     print(f"[decode] {half} tokens in {dt:.2f}s steady "
