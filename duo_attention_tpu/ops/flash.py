@@ -545,10 +545,13 @@ def full_cache_attention_q4(
     cs = jnp.broadcast_to(jnp.asarray(cs, jnp.int32).reshape(-1), (B,))
 
     if S == 1:
-        # Packed pairs halve bytes per token, so the ~512KB DMA sweet spot
-        # (bf16: 2048-token blocks) is 8192 tokens here — measured 368 vs
-        # 233 GB/s over 2048-token blocks.
-        bk = block_k or _pick_block(T, (8192, 4096, 2048, 1024, 512, 256, 128))
+        # Decode reads want the biggest blocks that divide the buffer:
+        # marginal bandwidth keeps climbing with DMA size (measured 233
+        # GB/s @2048-token blocks, 367 @8192, 450 @32768 — packed pairs
+        # are bk/2 bytes per token-row).
+        bk = block_k or _pick_block(
+            T, (32768, 16384, 8192, 4096, 2048, 1024, 512, 256, 128)
+        )
         span = T if bucket == 0 else min(_round_up(bucket, bk), T)
         n_kv = max(span // bk, 1)
         qg = q.reshape(B, Hkv, G, D)
