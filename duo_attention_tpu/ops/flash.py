@@ -81,10 +81,12 @@ class _OnlineSoftmax:
         fully-visible block (skips the mask selects — the dominant interior
         case during long-context prefill)."""
         rows, D = q.shape
+        # fold the softmax scale into q ([rows, D]) instead of scaling the
+        # [rows, bk] score tile — one fewer full-tile VPU pass per block
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            (q * jnp.asarray(self.scale, q.dtype)), k,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        s = s * self.scale
         if mask is not None:
             s = jnp.where(mask, s, NEG_INF)
 
@@ -182,6 +184,10 @@ class _OnlineSoftmax:
         prefill_mode = rows >= 128
         dims = (((1,), (1,)), ((), ()))
         k_scale, k_zp = scales_eo(ks)
+        # softmax scale folded into q ([rows, D]) — not the [rows, bk]
+        # score tile; the k_zp term keeps working because rowsum is taken
+        # over the scaled q
+        q = q * jnp.asarray(self.scale, q.dtype)
         qf = q.astype(jnp.float32)
         q_rowsum = jnp.sum(qf, axis=-1, keepdims=True)
 
@@ -203,7 +209,7 @@ class _OnlineSoftmax:
                 q, ko, dims, preferred_element_type=jnp.float32
             )
             s_int = jnp.concatenate([me, mo], axis=1)  # eo column order
-            s = (s_int * k_scale + q_rowsum * k_zp) * self.scale
+            s = s_int * k_scale + q_rowsum * k_zp
         else:
             ke8, ko8 = nibble_planes(kp)  # each [bk//2, D] int8
             q8, q_sc = quant_rows(qf)
@@ -217,7 +223,7 @@ class _OnlineSoftmax:
             s_int = jnp.concatenate(
                 [me, (mo + 128 * q8_rowsum) >> 4], axis=1
             ).astype(jnp.float32)  # [rows, bk] = q8 . Kq in eo column order
-            s = (s_int * (q_sc * k_scale) + q_rowsum * k_zp) * self.scale
+            s = s_int * (q_sc * k_scale) + q_rowsum * k_zp
         if mask is not None:
             s = jnp.where(mask, s, NEG_INF)
 
