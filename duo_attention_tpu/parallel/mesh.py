@@ -107,39 +107,56 @@ def param_shardings(mesh: Mesh, cfg: ModelConfig):
     return out
 
 
-def cache_shardings(mesh: Mesh, cfg: ModelConfig, duo: DuoConfig):
-    """Sharding pytree matching DuoCache structure."""
-    from ..cache import DuoCache
+def cache_shardings(mesh: Mesh, cfg: ModelConfig, duo: DuoConfig,
+                    quantized: bool = False):
+    """Sharding pytree matching DuoCache / DuoCacheQ4 structure.
+
+    KV buffers are sharded over their HEAD axis — exactly the layout the
+    shard_map'd kernels consume (parallel/spmd.py in_specs put "tensor"
+    on the head dim), so attention runs with zero resharding collectives.
+    Layers whose head count does not divide the tensor axis stay
+    head-replicated (the per-layer fallback path)."""
+    from ..cache import DuoCache, DuoCacheQ4
 
     tp = mesh.shape["tensor"]
 
-    def full_spec(hf):
-        if hf > 0 and hf % tp == 0:
-            return _ns(mesh, "data", None, "tensor", None)
-        return _ns(mesh, "data", None, None, None)
+    def head_spec(h, extra_dims):
+        if h > 0 and h % tp == 0:
+            return _ns(mesh, "data", "tensor", *([None] * extra_dims))
+        return _ns(mesh, "data", None, *([None] * extra_dims))
 
-    def stream_spec(hf):
-        hs = cfg.num_kv_heads - hf
-        if hs > 0 and hs % tp == 0:
-            return _ns(mesh, "data", None, "tensor", None)
-        return _ns(mesh, "data", None, None, None)
-
+    full = tuple(head_spec(hf, 2) for hf in duo.num_full_kv_heads)
+    stream = tuple(
+        head_spec(cfg.num_kv_heads - hf, 2) for hf in duo.num_full_kv_heads
+    )
+    if quantized:
+        # k/v_full_s are [B, 8*Hf, T2]: the 8-row scale groups follow
+        # their head, so the head axis shards identically.
+        scales = tuple(head_spec(hf, 1) for hf in duo.num_full_kv_heads)
+        return DuoCacheQ4(
+            k_full_q=full, v_full_q=full,
+            k_full_s=scales, v_full_s=scales,
+            k_sink=stream, v_sink=stream,
+            k_ring=stream, v_ring=stream,
+            length=_ns(mesh),
+        )
     return DuoCache(
-        k_full=tuple(full_spec(hf) for hf in duo.num_full_kv_heads),
-        v_full=tuple(full_spec(hf) for hf in duo.num_full_kv_heads),
-        k_sink=tuple(stream_spec(hf) for hf in duo.num_full_kv_heads),
-        v_sink=tuple(stream_spec(hf) for hf in duo.num_full_kv_heads),
-        k_ring=tuple(stream_spec(hf) for hf in duo.num_full_kv_heads),
-        v_ring=tuple(stream_spec(hf) for hf in duo.num_full_kv_heads),
+        k_full=full, v_full=full,
+        k_sink=stream, v_sink=stream,
+        k_ring=stream, v_ring=stream,
         length=_ns(mesh),
     )
 
 
 def shard_inference_state(mesh, cfg, duo, params, cache):
+    from ..cache import DuoCacheQ4
+
     p_sh = param_shardings(mesh, cfg)
     if "lm_head" not in params:
         p_sh = {k: v for k, v in p_sh.items() if k != "lm_head"}
-    c_sh = cache_shardings(mesh, cfg, duo)
+    c_sh = cache_shardings(
+        mesh, cfg, duo, quantized=isinstance(cache, DuoCacheQ4)
+    )
     params = jax.device_put(params, p_sh)
     cache = jax.device_put(cache, c_sh)
     return params, cache, p_sh, c_sh

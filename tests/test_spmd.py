@@ -87,3 +87,49 @@ def test_sharded_pallas_mixed_divisibility(setup):
                     attn_impl="pallas", mesh=mesh)
     got, _ = eng.generate(prompt, max_new_tokens=4, cache=sh_cache)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def _sharded_q4_decode_at(max_cache: int):
+    """North-star geometry (BASELINE.json): a max_cache-token INT4 KV
+    cache tensor-sharded over the mesh decodes end-to-end. 8 virtual CPU
+    devices as (data=2, tensor=4): one full KV head per device, exactly
+    the 1M-ctx-per-host layout for v5e (8 x 16 GB chips hold the 8B
+    weights replicated + ~0.7 GB of INT4 KV shard each at 1M tokens).
+    """
+    from duo_attention_tpu.cache import init_cache_q4
+    from duo_attention_tpu.config import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=1024, intermediate_size=1536,
+        num_layers=2, num_heads=8, num_kv_heads=8, head_dim=128,
+        model_type="llama",
+    )
+    duo = DuoConfig(
+        sink_size=64, recent_size=256, num_full_kv_heads=(4, 4),
+        max_cache_size=max_cache, prefill_chunk_size=512,
+    )
+    mesh = build_mesh(8, data=2)  # tensor=4
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    cache = init_cache_q4(cfg, duo, batch_size=2, dtype=jnp.float32)
+    params, cache, _, _ = shard_inference_state(mesh, cfg, duo, params, cache)
+    cache = cache._replace(length=jnp.asarray(max_cache - 576, jnp.int32))
+
+    tok = jnp.zeros((2, 1), jnp.int32)
+    hidden, cache = llama.forward_chunk(
+        params, cfg, duo, cache, tok, attn_impl="pallas", mesh=mesh
+    )
+    logits = llama.logits_at(params, hidden, 0)
+    assert logits.shape == (2, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+    assert int(cache.length) == max_cache - 575
+
+
+def test_long_context_sharded_q4_decode():
+    _sharded_q4_decode_at(131072)
+
+
+@pytest.mark.slow
+def test_1m_context_sharded_q4_decode():
+    # ~10 min in interpret mode; passes (verified 2026-08-17). Run with
+    # `pytest -m slow tests/test_spmd.py`.
+    _sharded_q4_decode_at(1048576)
