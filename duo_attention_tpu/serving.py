@@ -150,6 +150,8 @@ class ServingEngine:
         self.slots: List[Optional[Request]] = [None] * max_batch_size
         self.pending: List[Request] = []
         self.finished: List[Request] = []
+        self._admitting = None  # (req, slot, row_cache, chunks_done_offset)
+        self.trace: List[tuple] = []  # scheduler events, for tests/metrics
         self._decode_fns = {}
         self._splice = jax.jit(_row_cache_to_batch, donate_argnums=(0,))
         self._next_bucket = _next_bucket
@@ -172,27 +174,43 @@ class ServingEngine:
     def run(self, max_iters: int = 10_000) -> List[Request]:
         """Drive until all submitted work completes; returns finished."""
         it = 0
-        while (self.pending or any(self.slots)) and it < max_iters:
+        while (
+            self.pending or self._admitting or any(self.slots)
+        ) and it < max_iters:
             self.step()
             it += 1
         return self.finished
 
     def step(self):
-        """One scheduler iteration: admit into a free slot if possible,
-        else run one batched decode step for the live slots."""
-        free = [i for i, r in enumerate(self.slots) if r is None]
-        if self.pending and free:
-            self._admit(self.pending.pop(0), free[0])
-            return
+        """One scheduler iteration, Sarathi-style: advance the in-flight
+        admission by ONE prefill chunk (bounded stall — never a whole
+        prompt), then run a decode burst for the live slots. Admission
+        and decode interleave; at most one admission is in flight."""
+        if self._admitting is not None:
+            self._admit_chunk()
+        else:
+            free = [i for i, r in enumerate(self.slots) if r is None]
+            if self.pending and free:
+                req = self.pending.pop(0)
+                self._admitting = (req, free[0], None, 0)
+                self._admit_chunk()
         if any(r is not None for r in self.slots):
             self._decode_step()
 
     # -- internals ----------------------------------------------------------
 
-    def _admit(self, req: Request, slot: int):
+    def _admit_chunk(self):
+        req, slot, cache, off = self._admitting
+        C = self.duo.prefill_chunk_size
+        chunk = req.prompt_ids[None, off : off + C]
         cache, logits = self._prefill_engine.prefill(
-            req.prompt_ids[None, :]
+            chunk, cache=cache, start=off
         )
+        off += chunk.shape[1]
+        self.trace.append(("admit", req.rid))
+        if off < req.prompt_len:
+            self._admitting = (req, slot, cache, off)
+            return
         first = int(jnp.argmax(logits, axis=-1)[0])
         self.cache = self._splice(self.cache, cache, slot)
         self.tokens = self.tokens.at[slot].set(first)
@@ -200,6 +218,7 @@ class ServingEngine:
         req.generated.append(first)
         req.slot = slot
         self.slots[slot] = req
+        self._admitting = None
         self._maybe_finish(slot)
 
     def _decode_fn(self, bucket, steps=1):
@@ -253,6 +272,7 @@ class ServingEngine:
         self.tokens, self.cache, seq = fn(
             self.params, self.cache, self.tokens, jnp.asarray(active_np)
         )
+        self.trace.append(("decode", steps))
         seq = np.asarray(seq)  # [B, steps]
         for i, req in enumerate(self.slots):
             if req is None:

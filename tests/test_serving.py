@@ -118,3 +118,34 @@ def test_burst_decode_matches_single_step(setup):
         assert len(finished) == len(prompts)
         results[burst] = {r.rid: r.generated for r in finished}
     assert results[1] == results[4]
+
+
+def test_admission_interleaves_with_decode(setup):
+    """Sarathi-style scheduling: while a long prompt is being admitted
+    chunk by chunk, live slots keep decoding between chunks."""
+    params, cfg, duo = setup
+    rng = np.random.default_rng(11)
+    short = rng.integers(0, cfg.vocab_size, (20,)).astype(np.int32)
+    long = rng.integers(0, cfg.vocab_size, (5 * duo.prefill_chunk_size,)).astype(np.int32)
+    serve = ServingEngine(
+        params, cfg, duo, max_batch_size=2, dtype=jnp.float32, attn_impl="ref"
+    )
+    serve.submit(Request(rid=0, prompt_ids=short, max_new_tokens=12))
+    serve.submit(Request(rid=1, prompt_ids=long, max_new_tokens=2))
+    finished = serve.run()
+    assert len(finished) == 2
+    # request 1 takes 5 admission chunks; decode events must appear
+    # between its first and last chunk (request 0 kept decoding)
+    admits1 = [i for i, e in enumerate(serve.trace) if e == ("admit", 1)]
+    assert len(admits1) == 5
+    decodes_between = [
+        i for i, e in enumerate(serve.trace)
+        if e[0] == "decode" and admits1[0] < i < admits1[-1]
+    ]
+    assert decodes_between, f"no interleaved decode: {serve.trace}"
+    # and the outputs still match isolated generation
+    for r in finished:
+        p = short if r.rid == 0 else long
+        assert r.generated == isolated_tokens(
+            params, cfg, duo, p, r.max_new_tokens
+        )
