@@ -118,8 +118,11 @@ def bench_serving(cfg, duo, batch, ctx_len, kv_quant="int4", steps=64,
         params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     init = init_cache_q4 if kv_quant == "int4" else init_cache
     cache = init(cfg, duo, batch, jnp.bfloat16, decode_only=True)
+    # staggered lengths, clamped so every sequence keeps steps+slack of
+    # cache headroom (and never goes negative for tiny test configs)
+    base = max(ctx_len - steps - 8 - 600, 1)
     lengths = jnp.asarray(
-        [ctx_len - 600 - 37 * i for i in range(batch)], jnp.int32
+        [max(base - 37 * i, 1) for i in range(batch)], jnp.int32
     )
     cache = cache._replace(length=lengths)
     tokens = jnp.zeros((batch,), jnp.int32)

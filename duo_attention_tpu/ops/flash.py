@@ -554,10 +554,15 @@ def full_cache_attention_q4(
         # Decode reads want the biggest blocks that divide the buffer:
         # marginal bandwidth keeps climbing with DMA size (measured 233
         # GB/s @2048-token blocks, 367 @8192, 450 @32768 — packed pairs
-        # are bk/2 bytes per token-row).
-        bk = block_k or _pick_block(
-            T, (32768, 16384, 8192, 4096, 2048, 1024, 512, 256, 128)
-        )
+        # are bk/2 bytes per token-row). Capped by the live bucket so a
+        # short-context decode doesn't fetch a huge mostly-masked block.
+        cap = max(_round_up(bucket, 2048), 2048) if bucket else T
+        prefer = [
+            b
+            for b in (32768, 16384, 8192, 4096, 2048, 1024, 512, 256, 128)
+            if b <= cap
+        ]
+        bk = block_k or _pick_block(T, tuple(prefer) or (2048,))
         span = T if bucket == 0 else min(_round_up(bucket, bk), T)
         n_kv = max(span // bk, 1)
         qg = q.reshape(B, Hkv, G, D)

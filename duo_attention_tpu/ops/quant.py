@@ -100,20 +100,16 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
 
 def quantize_int4_paired(x: jnp.ndarray):
     """[..., S, D] (S even) -> (packed2 [..., S//2, D], scales4 [..., 4, S//2])."""
-    S, D = x.shape[-2], x.shape[-1]
+    S = x.shape[-2]
     assert S % 2 == 0, f"token-paired int4 needs even S, got {S}"
-    xf = x.astype(jnp.float32)
-    mn = jnp.min(xf, axis=-1, keepdims=True)
-    mx = jnp.max(xf, axis=-1, keepdims=True)
-    scale = (mx - mn) / 15.0 + 1e-8
-    q = jnp.clip(jnp.round((xf - mn) / scale), 0, 15).astype(jnp.uint8)
+    q, scales = quantize_int4_nibbles(x)  # [..., S, D], [..., 2, S]
     even, odd = q[..., 0::2, :], q[..., 1::2, :]  # [..., S//2, D]
     packed2 = (even | (odd << 4)).astype(jnp.uint8)
-    scale, zp = scale[..., 0], mn[..., 0]  # [..., S]
+    scale, zp = scales[..., 0, :], scales[..., 1, :]  # [..., S]
     scales4 = jnp.stack(
         [scale[..., 0::2], scale[..., 1::2], zp[..., 0::2], zp[..., 1::2]],
         axis=-2,
-    ).astype(jnp.bfloat16)  # [..., 4, S//2]
+    )  # [..., 4, S//2]
     return packed2, scales4
 
 

@@ -24,6 +24,7 @@ across the whole serving session.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 from typing import Dict, List, Optional
@@ -151,7 +152,9 @@ class ServingEngine:
         self.pending: List[Request] = []
         self.finished: List[Request] = []
         self._admitting = None  # (req, slot, row_cache, chunks_done_offset)
-        self.trace: List[tuple] = []  # scheduler events, for tests/metrics
+        # recent scheduler events for tests/metrics; bounded so a
+        # long-running server doesn't accumulate them forever
+        self.trace = collections.deque(maxlen=4096)
         self._decode_fns = {}
         self._splice = jax.jit(_row_cache_to_batch, donate_argnums=(0,))
         self._next_bucket = _next_bucket
@@ -249,19 +252,12 @@ class ServingEngine:
     def _decode_step(self):
         active_np = np.array([r is not None for r in self.slots])
         maxlen = int(self.lengths.max())
-        # don't let a burst run past the cache or (when all live requests
-        # would finish sooner) past the last useful token
-        budget_left = max(
-            r.max_new_tokens - len(r.generated)
-            for r in self.slots
-            if r is not None
-        )
+        # Don't run past the cache. The request budget deliberately does
+        # NOT shrink the burst: surplus tokens are trimmed on the host
+        # (same as stop tokens), whereas per-residual step counts would
+        # each compile a fresh scanned burst program.
         steps = max(
-            min(
-                self.decode_burst,
-                self.duo.max_cache_size - 1 - maxlen,
-                budget_left,
-            ),
+            min(self.decode_burst, self.duo.max_cache_size - 1 - maxlen),
             1,
         )
         bucket = min(
