@@ -243,3 +243,33 @@ def test_int8_embeddings_forward():
     logits = llama.logits_at(qp, h_q, 5)
     assert logits.shape == (1, cfg.vocab_size)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_q4_decode_small_bucket_caps_block():
+    """A short-context decode over a big buffer must pick a bucket-capped
+    KV block (not a whole 32768-token block) and stay correct."""
+    from duo_attention_tpu.ops.quant import (
+        dequantize_int4_paired,
+        paired_scales_to_cache_layout,
+        quantize_int4_paired,
+    )
+
+    B, Hq, Hkv, D, T = 1, 4, 2, 32, 32768
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(keys[0], (B, 1, Hq, D), jnp.float32)
+    k = jax.random.normal(keys[1], (B, Hkv, T, D), jnp.float32)
+    v = jax.random.normal(keys[2], (B, Hkv, T, D), jnp.float32)
+    kq, ks4 = quantize_int4_paired(k)
+    vq, vs4 = quantize_int4_paired(v)
+    ks = paired_scales_to_cache_layout(ks4)
+    vs = paired_scales_to_cache_layout(vs4)
+    cs = jnp.asarray(700, jnp.int32)
+    got = full_cache_attention_q4(q, kq, ks, vq, vs, cs, bucket=1024)
+
+    kd = dequantize_int4_paired(kq, ks4)
+    vd = dequantize_int4_paired(vq, vs4)
+    mask = full_mask(cs + jnp.arange(1, dtype=jnp.int32), T)[None, None]
+    want = masked_attention(
+        q, kd.transpose(0, 2, 1, 3), vd.transpose(0, 2, 1, 3), mask
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
