@@ -40,10 +40,14 @@ def build(num_layers, ctx_len, sparsity, chunk=8192, w8a8=False, kv_quant="none"
     )
     if w8a8:
         # layer-streaming init+quantize: a deep bf16 model would not fit
-        # the chip alongside its int8 copy (demo.py does the same)
+        # the chip alongside its int8 copy (demo.py does the same).
+        # int8 embeds/lm_head are part of the W8A8 contract and measured
+        # faster at decode (the bf16 lm_head read is 1.5 ms/step alone).
         from duo_attention_tpu.ops.quant import init_params_w8a8
 
-        params = init_params_w8a8(cfg, jax.random.PRNGKey(0))
+        params = init_params_w8a8(
+            cfg, jax.random.PRNGKey(0), quantize_embeds=True
+        )
     else:
         params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     eng = DuoEngine(
