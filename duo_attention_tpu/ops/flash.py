@@ -157,36 +157,33 @@ class _OnlineSoftmax:
             x8 = jnp.round(x * (127.0 / amax)).astype(jnp.int8)
             return x8, amax * (1.0 / 127.0)
 
-        def scales_eo(s4):
-            # [4, bk//2] -> scale [1, bk], zp [1, bk] in eo column order.
-            # Rows are extracted with masked reductions: a plain s4[i:i+1]
-            # slice carries a sublane offset Mosaic cannot lane-concat
-            # ("offset mismatch on non-concat dimension").
-            s4f = s4.astype(jnp.float32)
+        def scale_row(s4, i):
+            # Extract scale row i of [4, bk//2] as [1, bk//2] via a masked
+            # reduction: a plain s4[i:i+1] slice carries a sublane offset
+            # Mosaic cannot operate on directly.
             rid = jax.lax.broadcasted_iota(jnp.int32, s4.shape, 0)
+            return jnp.sum(
+                jnp.where(rid == i, s4.astype(jnp.float32), 0.0),
+                axis=0,
+                keepdims=True,
+            )
 
-            def row(i):
-                return jnp.sum(
-                    jnp.where(rid == i, s4f, 0.0), axis=0, keepdims=True
-                )
-
-            sc = jnp.concatenate([row(0), row(1)], axis=-1)
-            zp = jnp.concatenate([row(2), row(3)], axis=-1)
-            return sc, zp
-
+        # Everything stays in even/odd HALVES ([rows, bk//2]) end to end —
+        # no [rows, bk] concat copy, no lane slicing, and scale rows feed
+        # their half directly. Online softmax is permutation-invariant
+        # over KV positions; the caller's mask comes as (mask_e, mask_o).
+        #
         # Mode split (static on the tile shape): with few query rows
         # (decode) the per-pair epilogue is negligible and the win is
         # feeding raw bytes to the MXU as int8; with many rows (prefill)
-        # the kernel is VPU-bound on the [rows, bk] elementwise chain
+        # the kernel is VPU-bound on the per-pair elementwise chain
         # (profiled ~12 f32 ops/pair = 98% of chunked prefill), so the
         # planes are unpacked to bf16 ONCE per block (amortized over bq
         # rows) and p stays exact bf16 — no q/p quantization passes.
         prefill_mode = rows >= 128
         dims = (((1,), (1,)), ((), ()))
-        k_scale, k_zp = scales_eo(ks)
-        # softmax scale folded into q ([rows, D]) — not the [rows, bk]
-        # score tile; the k_zp term keeps working because rowsum is taken
-        # over the scaled q
+        # softmax scale folded into q ([rows, D]) — not the score tiles;
+        # the k_zp term keeps working because rowsum is over the scaled q
         q = q * jnp.asarray(self.scale, q.dtype)
         qf = q.astype(jnp.float32)
         q_rowsum = jnp.sum(qf, axis=-1, keepdims=True)
@@ -202,14 +199,12 @@ class _OnlineSoftmax:
 
         if prefill_mode:
             ke, ko = unpack_bf16(kp)
-            me = jax.lax.dot_general(
+            s_e = jax.lax.dot_general(
                 q, ke, dims, preferred_element_type=jnp.float32
-            )
-            mo = jax.lax.dot_general(
+            ) * scale_row(ks, 0) + q_rowsum * scale_row(ks, 2)
+            s_o = jax.lax.dot_general(
                 q, ko, dims, preferred_element_type=jnp.float32
-            )
-            s_int = jnp.concatenate([me, mo], axis=1)  # eo column order
-            s = s_int * k_scale + q_rowsum * k_zp
+            ) * scale_row(ks, 1) + q_rowsum * scale_row(ks, 3)
         else:
             ke8, ko8 = nibble_planes(kp)  # each [bk//2, D] int8
             q8, q_sc = quant_rows(qf)
@@ -220,56 +215,73 @@ class _OnlineSoftmax:
             mo = jax.lax.dot_general(
                 q8, ko8, dims, preferred_element_type=jnp.int32
             )
-            s_int = jnp.concatenate(
-                [me, (mo + 128 * q8_rowsum) >> 4], axis=1
-            ).astype(jnp.float32)  # [rows, bk] = q8 . Kq in eo column order
-            s = s_int * (q_sc * k_scale) + q_rowsum * k_zp
+            s_e = me.astype(jnp.float32) * (q_sc * scale_row(ks, 0)) \
+                + q_rowsum * scale_row(ks, 2)
+            s_o = ((mo + 128 * q8_rowsum) >> 4).astype(jnp.float32) \
+                * (q_sc * scale_row(ks, 1)) + q_rowsum * scale_row(ks, 3)
         if mask is not None:
-            s = jnp.where(mask, s, NEG_INF)
+            mask_e, mask_o = mask
+            s_e = jnp.where(mask_e, s_e, NEG_INF)
+            s_o = jnp.where(mask_o, s_o, NEG_INF)
 
         m_prev = self.m[...]
         l_prev = self.l[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_curr = jnp.maximum(
+            jnp.max(s_e, axis=1, keepdims=True),
+            jnp.max(s_o, axis=1, keepdims=True),
+        )
         m_next = jnp.maximum(m_prev, _bcast_rows(m_curr, LANES))
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - _bcast_rows(m_next[:, :1], s.shape[1]))
+        mcol = _bcast_rows(m_next[:, :1], half)
+        p_e = jnp.exp(s_e - mcol)
+        p_o = jnp.exp(s_o - mcol)
         if mask is not None:
-            p = jnp.where(mask, p, 0.0)
+            # rows whose every column is masked contribute nothing
+            p_e = jnp.where(mask_e, p_e, 0.0)
+            p_o = jnp.where(mask_o, p_o, 0.0)
         l_next = alpha * l_prev + _bcast_rows(
-            jnp.sum(p, axis=1, keepdims=True), LANES
+            jnp.sum(p_e, axis=1, keepdims=True)
+            + jnp.sum(p_o, axis=1, keepdims=True),
+            LANES,
         )
         self.m[...] = m_next
         self.l[...] = l_next
 
-        v_scale, v_zp = scales_eo(vs)
+        ps_e = p_e * scale_row(vs, 0)
+        ps_o = p_o * scale_row(vs, 1)
         if prefill_mode:
             ve, vo = unpack_bf16(vp)
-            ps = (p * v_scale).astype(q.dtype)
             contrib = jax.lax.dot(
-                ps[:, :half], ve, preferred_element_type=jnp.float32
+                ps_e.astype(q.dtype), ve, preferred_element_type=jnp.float32
             ) + jax.lax.dot(
-                ps[:, half:], vo, preferred_element_type=jnp.float32
+                ps_o.astype(q.dtype), vo, preferred_element_type=jnp.float32
             )
         else:
             ve8, vo8 = nibble_planes(vp)
 
-            def halves_dot(x8):
-                # [rows, bk] int8 @ dequantized nibbles -> [rows, D] f32.
-                xe, xo = x8[:, :half], x8[:, half:]
-                xo_rs = jnp.sum(xo.astype(jnp.int32), axis=-1, keepdims=True)
-                ce = jax.lax.dot(xe, ve8, preferred_element_type=jnp.int32)
-                co = jax.lax.dot(xo, vo8, preferred_element_type=jnp.int32)
-                return (ce + ((co + 128 * xo_rs) >> 4)).astype(jnp.float32)
+            def half_pv(ps, v8, odd):
+                # Two-digit int8 quantization of the probability rows: a
+                # single int8 digit rounds every p at the block-max
+                # granularity and the error accumulates ~sqrt(T) over
+                # tokens — the residual digit drops it ~250x for one more
+                # (HBM-free) MXU matmul per half.
+                def one(x8, x_sc):
+                    c = jax.lax.dot(x8, v8, preferred_element_type=jnp.int32)
+                    if odd:
+                        rs = jnp.sum(
+                            x8.astype(jnp.int32), axis=-1, keepdims=True
+                        )
+                        c = (c + 128 * rs) >> 4
+                    return c.astype(jnp.float32) * x_sc
 
-            # Two-digit int8 quantization of the probability rows: a single
-            # int8 digit rounds every p at the block-max granularity and the
-            # error accumulates ~sqrt(T) over tokens — the residual digit
-            # drops it ~250x for two more (HBM-free) MXU matmuls.
-            ps = p * v_scale
-            p8, p_sc = quant_rows(ps)
-            r8, r_sc = quant_rows(ps - p8.astype(jnp.float32) * p_sc)
-            contrib = halves_dot(p8) * p_sc + halves_dot(r8) * r_sc
-        zp_term = jnp.sum(p * v_zp, axis=1, keepdims=True)  # [rows, 1]
+                x8, x_sc = quant_rows(ps)
+                r8, r_sc = quant_rows(ps - x8.astype(jnp.float32) * x_sc)
+                return one(x8, x_sc) + one(r8, r_sc)
+
+            contrib = half_pv(ps_e, ve8, False) + half_pv(ps_o, vo8, True)
+        zp_term = jnp.sum(
+            p_e * scale_row(vs, 2), axis=1, keepdims=True
+        ) + jnp.sum(p_o * scale_row(vs, 3), axis=1, keepdims=True)
         self.acc[...] = self.acc[...] * alpha[:, :D] + contrib + zp_term
 
     def finalize(self, o_ref):
@@ -456,11 +468,11 @@ def full_cache_attention(
 
 
 def _eo_cols(rows: int, bk: int, base):
-    """Column positions [rows, bk] for a token-paired block in the
-    even-then-odd row order update_q4 uses (ops/quant.py layout note)."""
-    half = bk // 2
-    ii = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
-    return base + 2 * (ii % half) + (ii // half)
+    """Column positions for a token-paired block as (even, odd) halves,
+    each [rows, bk//2] — the layout update_q4 consumes (ops/quant.py)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (rows, bk // 2), 1)
+    cols_e = base + 2 * ii
+    return cols_e, cols_e + 1
 
 
 def _full_prefill_q4_kernel(
@@ -490,9 +502,9 @@ def _full_prefill_q4_kernel(
 
     @pl.when(jnp.logical_and(col_hi > qpos_lo, j * bk <= qpos_hi))
     def _():
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        cols = _eo_cols(bq, bk, j * bk)
-        mask = cols <= qpos_lo + rows_i
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (bq, bk // 2), 0)
+        cols_e, cols_o = _eo_cols(bq, bk, j * bk)
+        mask = (cols_e <= qpos_lo + rows_i, cols_o <= qpos_lo + rows_i)
         osm.update_q4(q_ref[0, 0], kp_ref[0, 0], ks, vp_ref[0, 0], vs, mask)
 
     @pl.when(j == n_kv - 1)
@@ -516,7 +528,8 @@ def _full_decode_q4_kernel(
 
     @pl.when(j * bk <= cs)
     def _():
-        mask = _eo_cols(g, bk, j * bk) <= cs
+        cols_e, cols_o = _eo_cols(g, bk, j * bk)
+        mask = (cols_e <= cs, cols_o <= cs)
         osm.update_q4(q_ref[0, 0], kp_ref[0, 0], ks, vp_ref[0, 0], vs, mask)
 
     @pl.when(j == n_kv - 1)
