@@ -98,8 +98,8 @@ def bench_serving(cfg, duo, batch, ctx_len, kv_quant="int4", steps=64,
     Uses the decode-only compact streaming cache (cache.ring_capacity
     decode_only=True — the ServingEngine batch pool) with staggered
     per-sequence lengths, i.e. the continuous-batching steady state.
-    Measured (v5e, 32-layer 8B W8A8KV4): 403 tok/s aggregate at batch 8 x
-    16k ctx, 19.8 ms/step — batching amortizes the weight reads (one
+    Measured (v5e, 32-layer 8B W8A8KV4): 414 tok/s aggregate at batch 8 x
+    16k ctx, 19.3 ms/step — batching amortizes the weight reads (one
     sequence decodes at ~15 ms/step base).
     """
     import functools
