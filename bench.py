@@ -95,6 +95,9 @@ def main():
     KV with in-kernel dequant — the reference demo path,
     demo/run_duo_w8a8kv4.py) against the full-attention FP16/bf16
     baseline at the same context length."""
+    from duo_attention_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     ctx_len = 131072
     num_layers = 8
 

@@ -38,6 +38,9 @@ from .utils import device_memory_stats, fence
 
 
 def main():
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="duo-attention W8A8KV4 demo")
     p.add_argument("--model", default="Llama-3-8B-Instruct-Gradient-1048k")
     p.add_argument("--num-layers", type=int, default=8)

@@ -157,6 +157,9 @@ def bench_serving(cfg, duo, batch, ctx_len, kv_quant="int4", steps=64,
 
 
 def main():
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="efficiency benchmark")
     p.add_argument("--model", default="Llama-3-8B-Instruct-Gradient-1048k")
     p.add_argument("--num-layers", type=int, default=8)

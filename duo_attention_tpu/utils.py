@@ -74,3 +74,26 @@ def device_memory_stats() -> dict:
         except Exception:
             stats[str(d)] = None
     return stats
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Turn on JAX's persistent compilation cache (verified to work through
+    remote PJRT runtimes): long-context engines compile one executable per
+    (bucket, chunk/steps) pair, each costing seconds to minutes — cached,
+    a rerun's prefill wall time drops by hundreds of seconds. Drivers
+    (bench.py, demo, efficiency) call this at startup; set
+    DUO_JAX_CACHE_DIR to relocate, or DUO_JAX_CACHE_DIR=off to disable.
+    """
+    import os
+
+    env = os.environ.get("DUO_JAX_CACHE_DIR")
+    if env == "off":
+        return ""
+    cache_dir = env or cache_dir or os.path.expanduser(
+        "~/.cache/duo_attention_tpu/jax"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache_dir
