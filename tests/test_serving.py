@@ -149,3 +149,28 @@ def test_admission_interleaves_with_decode(setup):
         assert r.generated == isolated_tokens(
             params, cfg, duo, p, r.max_new_tokens
         )
+
+
+def test_serving_int4_matches_isolated(setup):
+    """INT4 serving pool: admission splice + compact-ring remap over the
+    quantized cache produce the same tokens as isolated int4 generation."""
+    params, cfg, duo = setup
+    rng = np.random.default_rng(21)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, (int(n),)).astype(np.int32)
+        for n in (40, 70, 25)
+    ]
+    serve = ServingEngine(
+        params, cfg, duo, max_batch_size=2, dtype=jnp.float32,
+        attn_impl="ref", kv_quant="int4", decode_burst=3,
+    )
+    for i, p in enumerate(prompts):
+        serve.submit(Request(rid=i, prompt_ids=p, max_new_tokens=5))
+    finished = serve.run()
+    assert len(finished) == len(prompts)
+    by_rid = {r.rid: r for r in finished}
+    for i, p in enumerate(prompts):
+        eng = DuoEngine(params, cfg, duo, dtype=jnp.float32,
+                        attn_impl="ref", kv_quant="int4")
+        toks, _ = eng.generate(p[None, :], max_new_tokens=5)
+        assert by_rid[i].generated == list(map(int, toks[0])), f"req {i}"
