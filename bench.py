@@ -56,17 +56,24 @@ def build(num_layers, ctx_len, sparsity, chunk=8192, w8a8=False, kv_quant="none"
     return eng
 
 
-def bench_decode(eng, ctx_len, steps=64, warmup=8):
+def bench_decode(eng, ctx_len, steps=64, warmup=8, repeats=5):
     """Decode tokens/s with the cache pre-advanced to ctx_len (the
     steady-state long-context decode regime the reference measures).
 
     Timing is fenced by a host value fetch (see utils.fence) because
-    block_until_ready can ack before completion on tunneled runtimes."""
+    block_until_ready can ack before completion on tunneled runtimes.
+
+    The pre-advance leaves headroom for EVERY decoded token (warmup +
+    repeats*steps, plus one steps of slack) — decoding past
+    max_cache_size would overrun the preallocated buffers (round-1
+    BENCH failure: headroom sized for 3 repeats while the loop ran 5)."""
     from duo_attention_tpu.utils import fence
 
+    headroom = repeats * steps + warmup + steps
+    assert ctx_len > headroom, (ctx_len, headroom)
     cache = eng.new_cache()
     cache = cache._replace(
-        length=jnp.asarray(ctx_len - 3 * steps - warmup, jnp.int32)
+        length=jnp.asarray(ctx_len - headroom, jnp.int32)
     )
     token = jnp.zeros((1,), jnp.int32)
 
@@ -80,7 +87,7 @@ def bench_decode(eng, ctx_len, steps=64, warmup=8):
     # eval/efficiency/benchmark_static.py:96-105 — we are stricter; five
     # repeats because remote dispatch adds multi-ms jitter per call).
     best = float("inf")
-    for _ in range(5):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         tokens, cache = step_fn(eng.params, cache, tokens[:, -1])
         fence(tokens)

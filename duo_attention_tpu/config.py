@@ -88,6 +88,17 @@ class DuoConfig:
     max_cache_size: int = 32768
     prefill_chunk_size: int = 8192
 
+    def __post_init__(self):
+        # The INT4 cache packs token pairs into nibble-interleaved bytes
+        # (cache.write_full_q4); every prefill chunk after the first lands
+        # at start = k * prefill_chunk_size, which must stay even or the
+        # pair parity is silently lost. Enforce statically for all paths
+        # (a chunk size this small would never be odd intentionally).
+        assert self.prefill_chunk_size % 2 == 0, (
+            f"prefill_chunk_size must be even (int4 token-pair packing), "
+            f"got {self.prefill_chunk_size}"
+        )
+
     @property
     def streaming_window(self) -> int:
         return self.sink_size + self.recent_size

@@ -149,6 +149,12 @@ class DuoEngine:
 
         Returns (generated token ids [B, max_new_tokens], cache)."""
         input_ids = np.asarray(input_ids)
+        if cache is None:  # host-known length: fail before touching the chip
+            total = input_ids.shape[1] + max_new_tokens
+            assert total <= self.duo.max_cache_size, (
+                f"prompt+generation = {total} tokens exceeds max_cache_size "
+                f"= {self.duo.max_cache_size}"
+            )
         cache, logits = self.prefill(input_ids, cache)
         first_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
         bucket = self.bucket_for(input_ids.shape[1] + max_new_tokens)
@@ -201,6 +207,13 @@ def _decode_scan(
     (cache, _), tokens = jax.lax.scan(
         step, (cache, first_token), None, length=num_steps
     )
+    # Overrun guard: decoding past max_cache_size clamps the in-place
+    # writes (ops/inplace.py) so the chip never faults, but the results
+    # are garbage — poison the whole output with -1 so callers fail
+    # loudly instead of silently reading stale-cache tokens (round-1
+    # BENCH_r01 lesson).
+    overrun = jnp.any(cache.length > duo.max_cache_size)
+    tokens = jnp.where(overrun, jnp.full_like(tokens, -1), tokens)
     return tokens.T, cache  # [B, num_steps]
 
 

@@ -69,13 +69,16 @@ def bench_prefill(engine, ctx_len, runs=3):
     return float(np.median(times)), kv_memory_bytes(cache)
 
 
-def bench_decode(engine, ctx_len, steps=64, warmup=8):
+def bench_decode(engine, ctx_len, steps=64, warmup=8, repeats=3):
     """Steady-state decode latency with the cache pre-advanced to ctx_len.
     With engine.batch_size > 1 this measures batched decode (aggregate
-    tokens/s amortizes the weight reads across sequences)."""
+    tokens/s amortizes the weight reads across sequences). Headroom is
+    sized for every decoded token plus one steps of slack (overrunning
+    max_cache_size poisons the decode output — engine._decode_scan)."""
+    headroom = repeats * steps + warmup + steps
     cache = engine.new_cache()
     cache = cache._replace(
-        length=jnp.asarray(ctx_len - 3 * steps - warmup, jnp.int32)
+        length=jnp.asarray(max(ctx_len - headroom, 0), jnp.int32)
     )
     token = jnp.zeros((engine.batch_size,), jnp.int32)
     bucket = engine.bucket_for(ctx_len)
@@ -83,7 +86,7 @@ def bench_decode(engine, ctx_len, steps=64, warmup=8):
     fence(tokens)
     fn = engine._decode_fn(bucket, steps)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         tokens, cache = fn(engine.params, cache, tokens[:, -1])
         fence(tokens)

@@ -112,18 +112,26 @@ def _to_dtype(x: np.ndarray, dtype):
     return jnp.asarray(x).astype(dtype)
 
 
-def _T(x: np.ndarray) -> np.ndarray:
+def _T(x: np.ndarray, perm=None, col_perm=None) -> np.ndarray:
     """Transpose via the native multithreaded layout engine when possible
-    (numpy fallback inside), materializing mmap-backed views exactly once."""
+    (numpy fallback inside), materializing mmap-backed views exactly once
+    — with the DuoAttention head permutation fused into the same pass
+    (row gather for q/k/v out-channels, column gather for o in-channels)."""
     if isinstance(x, np.ndarray) and x.ndim == 2:
         from .. import native
 
-        return native.transpose_gather(x)
-    return np.ascontiguousarray(np.asarray(x).T)
+        return native.transpose_gather(x, perm=perm, col_perm=col_perm)
+    x = np.asarray(x)
+    if perm is not None:
+        x = x[np.asarray(perm)]
+    if col_perm is not None:
+        x = x[:, np.asarray(col_perm)]
+    return np.ascontiguousarray(x.T)
 
 
 def params_from_state_dict(
-    state: Dict[str, np.ndarray], cfg: ModelConfig, dtype=None
+    state: Dict[str, np.ndarray], cfg: ModelConfig, dtype=None,
+    layer_perms=None,
 ) -> Dict:
     """Map HF llama/mistral tensor names onto our param pytree.
 
@@ -133,6 +141,12 @@ def params_from_state_dict(
     model.layers.{i}.{input,post_attention}_layernorm.weight -> norms;
     model.norm.weight -> final_norm; lm_head.weight -> lm_head (T, absent
     when tie_word_embeddings).
+
+    layer_perms: optional per-layer KV-head permutations (from
+    patterns.head_permutation). When given, the retrieval-heads-first
+    reorder is fused into the native transpose pass (one read of the
+    mmap'd checkpoint, no separate gather) instead of a later
+    reorder_params call.
     """
     import jax.numpy as jnp
 
@@ -147,23 +161,43 @@ def params_from_state_dict(
     layers = []
     for i in range(cfg.num_layers):
         pre = f"model.layers.{i}."
+        if layer_perms is not None:
+            kv_chan = expand_kv_perm(layer_perms[i], cfg.head_dim)
+            q_chan = expand_kv_perm(
+                layer_perms[i], cfg.num_kv_groups * cfg.head_dim
+            )
+        else:
+            kv_chan = q_chan = None
         layer = {
             "input_norm": _to_dtype(get(pre + "input_layernorm.weight"), dtype),
             "post_norm": _to_dtype(
                 get(pre + "post_attention_layernorm.weight"), dtype
             ),
-            "wq": _to_dtype(_T(get(pre + "self_attn.q_proj.weight")), dtype),
-            "wk": _to_dtype(_T(get(pre + "self_attn.k_proj.weight")), dtype),
-            "wv": _to_dtype(_T(get(pre + "self_attn.v_proj.weight")), dtype),
-            "wo": _to_dtype(_T(get(pre + "self_attn.o_proj.weight")), dtype),
+            "wq": _to_dtype(
+                _T(get(pre + "self_attn.q_proj.weight"), perm=q_chan), dtype
+            ),
+            "wk": _to_dtype(
+                _T(get(pre + "self_attn.k_proj.weight"), perm=kv_chan), dtype
+            ),
+            "wv": _to_dtype(
+                _T(get(pre + "self_attn.v_proj.weight"), perm=kv_chan), dtype
+            ),
+            "wo": _to_dtype(
+                _T(get(pre + "self_attn.o_proj.weight"), col_perm=q_chan), dtype
+            ),
             "w_gate": _to_dtype(_T(get(pre + "mlp.gate_proj.weight")), dtype),
             "w_up": _to_dtype(_T(get(pre + "mlp.up_proj.weight")), dtype),
             "w_down": _to_dtype(_T(get(pre + "mlp.down_proj.weight")), dtype),
         }
         if cfg.attention_bias:
-            layer["bq"] = _to_dtype(get(pre + "self_attn.q_proj.bias"), dtype)
-            layer["bk"] = _to_dtype(get(pre + "self_attn.k_proj.bias"), dtype)
-            layer["bv"] = _to_dtype(get(pre + "self_attn.v_proj.bias"), dtype)
+            bq = np.asarray(get(pre + "self_attn.q_proj.bias"))
+            bk = np.asarray(get(pre + "self_attn.k_proj.bias"))
+            bv = np.asarray(get(pre + "self_attn.v_proj.bias"))
+            if q_chan is not None:
+                bq, bk, bv = bq[q_chan], bk[kv_chan], bv[kv_chan]
+            layer["bq"] = _to_dtype(bq, dtype)
+            layer["bk"] = _to_dtype(bk, dtype)
+            layer["bv"] = _to_dtype(bv, dtype)
         layers.append(layer)
 
     params = {
@@ -253,8 +287,19 @@ def load_hf_model(
     if cfg is None:
         cfg = load_hf_config(os.path.join(model_dir, "config.json"))
     state = _load_state_dict(model_dir)
-    params = params_from_state_dict(state, cfg, dtype)
-    params, num_full = reorder_params(params, cfg, binary_heads)
+    # Compute the per-layer retrieval-heads-first permutations up front so
+    # the reorder fuses into the native transpose pass (one checkpoint
+    # read; reorder_params stays available for already-loaded pytrees).
+    binary = np.atleast_2d(np.asarray(binary_heads))
+    assert binary.shape == (cfg.num_layers, cfg.num_kv_heads), (
+        binary.shape, (cfg.num_layers, cfg.num_kv_heads))
+    perms, num_full = [], []
+    for li in range(cfg.num_layers):
+        perm, nf = head_permutation(binary[li])
+        perms.append(perm)
+        num_full.append(nf)
+    params = params_from_state_dict(state, cfg, dtype, layer_perms=perms)
+    num_full = tuple(num_full)
     duo = DuoConfig(
         sink_size=sink_size,
         recent_size=recent_size,

@@ -116,6 +116,19 @@ def _head_logits(params: Params, h: jnp.ndarray) -> jnp.ndarray:
             h, params["lm_head_q8"], params["lm_head_scale"],
             out_dtype=jnp.float32,
         )
+    if "embed_q8" in params and "lm_head" not in params:
+        # tied embeddings with a quantized table: logits = h @ embed.T with
+        # embed[v] ~= embed_q8[v] * embed_scale[v], so the per-row embed
+        # scale acts as the head's per-out-channel scale (no bf16 table
+        # exists to fall back to — quantize_embeddings_int8 pops it)
+        from ..ops.quant import quantize_act_per_token
+
+        hq, hs = quantize_act_per_token(h)
+        acc = jax.lax.dot_general(
+            hq, params["embed_q8"], (((hq.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * hs * params["embed_scale"]
     return (h @ lm_head_weight(params)).astype(jnp.float32)
 
 

@@ -12,12 +12,16 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this environment):
 //   ct_transpose_gather(src, dst, rows, cols, elem_size, perm, perm_len,
-//                       nthreads)
-//     src: [rows, cols] row-major, element size 2 or 4 bytes
-//     dst: [cols, rows] row-major; dst[c, r] = src[perm ? perm[r] : r, c]
+//                       col_perm, col_perm_len, nthreads)
+//     src: [rows, cols] row-major, element size 2/4/8 bytes
+//     dst: [cols, rows] row-major;
+//     dst[c, r] = src[perm ? perm[r] : r, col_perm ? col_perm[c] : c]
 //     perm: optional int64 permutation over src rows (the out-channel /
-//           head permutation), perm_len == rows when present, else pass
-//           nullptr/0.
+//           head permutation for q/k/v projections), perm_len == rows when
+//           present, else pass nullptr/0.
+//     col_perm: optional int64 permutation over src cols (the in-channel
+//           permutation for the o projection), col_perm_len == cols when
+//           present, else nullptr/0.
 //   ct_memcpy_mt(src, dst, nbytes, nthreads): parallel memcpy for
 //     non-transposed tensors (embeddings, norms).
 
@@ -33,8 +37,8 @@ constexpr int kBlock = 64;  // cache-blocked tile edge (elements)
 
 template <typename T>
 void transpose_gather_range(const T* src, T* dst, int64_t rows, int64_t cols,
-                            const int64_t* perm, int64_t col_begin,
-                            int64_t col_end) {
+                            const int64_t* perm, const int64_t* col_perm,
+                            int64_t col_begin, int64_t col_end) {
   // dst is [cols, rows]; we own dst rows [col_begin, col_end).
   for (int64_t cb = col_begin; cb < col_end; cb += kBlock) {
     int64_t ce = std::min<int64_t>(cb + kBlock, col_end);
@@ -43,7 +47,7 @@ void transpose_gather_range(const T* src, T* dst, int64_t rows, int64_t cols,
       for (int64_t r = rb; r < re; ++r) {
         const T* s = src + (perm ? perm[r] : r) * cols;
         for (int64_t c = cb; c < ce; ++c) {
-          dst[c * rows + r] = s[c];
+          dst[c * rows + r] = s[col_perm ? col_perm[c] : c];
         }
       }
     }
@@ -52,10 +56,11 @@ void transpose_gather_range(const T* src, T* dst, int64_t rows, int64_t cols,
 
 template <typename T>
 void transpose_gather(const T* src, T* dst, int64_t rows, int64_t cols,
-                      const int64_t* perm, int nthreads) {
+                      const int64_t* perm, const int64_t* col_perm,
+                      int nthreads) {
   nthreads = std::max(1, nthreads);
   if (nthreads == 1 || cols < 2 * kBlock) {
-    transpose_gather_range<T>(src, dst, rows, cols, perm, 0, cols);
+    transpose_gather_range<T>(src, dst, rows, cols, perm, col_perm, 0, cols);
     return;
   }
   std::vector<std::thread> workers;
@@ -67,7 +72,7 @@ void transpose_gather(const T* src, T* dst, int64_t rows, int64_t cols,
     int64_t e = std::min<int64_t>(b + per, cols);
     if (b >= e) break;
     workers.emplace_back(transpose_gather_range<T>, src, dst, rows, cols,
-                         perm, b, e);
+                         perm, col_perm, b, e);
   }
   for (auto& w : workers) w.join();
 }
@@ -78,23 +83,25 @@ extern "C" {
 
 int ct_transpose_gather(const void* src, void* dst, int64_t rows,
                         int64_t cols, int elem_size, const int64_t* perm,
-                        int64_t perm_len, int nthreads) {
+                        int64_t perm_len, const int64_t* col_perm,
+                        int64_t col_perm_len, int nthreads) {
   if (perm && perm_len != rows) return -1;
+  if (col_perm && col_perm_len != cols) return -1;
   switch (elem_size) {
     case 2:
       transpose_gather<uint16_t>(static_cast<const uint16_t*>(src),
                                  static_cast<uint16_t*>(dst), rows, cols,
-                                 perm, nthreads);
+                                 perm, col_perm, nthreads);
       return 0;
     case 4:
       transpose_gather<uint32_t>(static_cast<const uint32_t*>(src),
                                  static_cast<uint32_t*>(dst), rows, cols,
-                                 perm, nthreads);
+                                 perm, col_perm, nthreads);
       return 0;
     case 8:
       transpose_gather<uint64_t>(static_cast<const uint64_t*>(src),
                                  static_cast<uint64_t*>(dst), rows, cols,
-                                 perm, nthreads);
+                                 perm, col_perm, nthreads);
       return 0;
     default:
       return -2;

@@ -32,8 +32,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _as_vec(pos, B):
-    return jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+def _as_vec(pos, B, limit=None):
+    """Broadcast pos to [B]; clamp into [0, limit-1] when given.
+
+    The clamp is a chip-fault guard: an out-of-range position would make
+    the prefetch-computed block index address past the buffer and fault
+    the TPU (FAILED_PRECONDITION on everything until reset). Overrun is
+    still surfaced loudly — engine._decode_scan poisons its output when
+    cache.length exceeds max_cache_size — but the write itself must
+    never leave the buffer."""
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    if limit is not None:
+        pos = jnp.clip(pos, 0, limit - 1)
+    return pos
 
 
 # ---------------------------------------------------------------------------
@@ -57,7 +68,7 @@ def write_row(buf: jnp.ndarray, row: jnp.ndarray, pos) -> jnp.ndarray:
     (the input buffer is donated to the output via aliasing).
     """
     B, H, T, D = buf.shape
-    pos = _as_vec(pos, B)
+    pos = _as_vec(pos, B, limit=T)
     row8 = jnp.broadcast_to(row, (B, H, 8, D))
     return pl.pallas_call(
         _row_kernel,
@@ -176,7 +187,7 @@ def write_q4_token(bq, bs8, nib, sc, start):
     (ops/quant.py layout note).
     """
     B, H, T2, D = bq.shape
-    start = _as_vec(start, B)
+    start = _as_vec(start, B, limit=2 * T2)
     par = (start % 2).reshape(B, 1, 1, 1)
 
     # place the nibble in its half-byte while still in XLA (Mosaic has no

@@ -175,13 +175,25 @@ class ServingEngine:
         self.pending.append(req)
 
     def run(self, max_iters: int = 10_000) -> List[Request]:
-        """Drive until all submitted work completes; returns finished."""
+        """Drive until all submitted work completes; returns finished.
+
+        Raises if ``max_iters`` is exhausted with work still in flight —
+        otherwise a stalled scheduler would be indistinguishable from
+        completion (unfinished requests silently absent from the result)."""
         it = 0
         while (
             self.pending or self._admitting or any(self.slots)
         ) and it < max_iters:
             self.step()
             it += 1
+        if self.pending or self._admitting or any(self.slots):
+            live = sum(r is not None for r in self.slots)
+            raise RuntimeError(
+                f"ServingEngine.run: max_iters={max_iters} exhausted with "
+                f"{len(self.pending)} pending, {live} live slot(s), "
+                f"admission {'in flight' if self._admitting else 'idle'} "
+                f"({len(self.finished)} finished)"
+            )
         return self.finished
 
     def step(self):

@@ -95,6 +95,31 @@ def test_reorder_is_model_symmetry(tiny):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_fused_convert_reorder_matches_two_pass(tmp_path, tiny):
+    """load_hf_model's fused native transpose+gather must be byte-identical
+    to converting without a perm and then calling reorder_params."""
+    from safetensors.numpy import save_file
+
+    cfg, params = tiny
+    state = hf_state_dict_from_params(params, cfg)
+    save_file(state, os.path.join(tmp_path, "model.safetensors"))
+    raw = convert._load_state_dict(str(tmp_path))
+
+    rng = np.random.default_rng(9)
+    gates = (rng.uniform(size=(cfg.num_layers, cfg.num_kv_heads)) > 0.5).astype(float)
+    perms = [head_permutation(g)[0] for g in gates]
+
+    fused = convert.params_from_state_dict(raw, cfg, jnp.float32, layer_perms=perms)
+    two_pass, _ = convert.reorder_params(
+        convert.params_from_state_dict(raw, cfg, jnp.float32), cfg, gates
+    )
+    for fl, tl in zip(fused["layers"], two_pass["layers"]):
+        for k in tl:
+            np.testing.assert_array_equal(
+                np.asarray(fl[k]), np.asarray(tl[k]), err_msg=k
+            )
+
+
 def test_reorder_permutation_structure():
     gates = np.array([0.0, 1.0, 0.0, 1.0])
     perm, nf = head_permutation(gates)

@@ -47,6 +47,23 @@ def test_transpose_with_gather(lib):
     np.testing.assert_array_equal(got, x[perm].T)
 
 
+def test_transpose_with_col_gather(lib):
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((96, 128)).astype(np.float32)
+    cperm = rng.permutation(128)
+    got = native.transpose_gather(x, col_perm=cperm)
+    np.testing.assert_array_equal(got, x[:, cperm].T)
+
+
+def test_transpose_with_both_gathers(lib):
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((70, 90)).astype(np.float16)
+    perm = rng.permutation(70)
+    cperm = rng.permutation(90)
+    got = native.transpose_gather(x, perm=perm, col_perm=cperm)
+    np.testing.assert_array_equal(got, x[perm][:, cperm].T)
+
+
 def test_copy_mt(lib):
     rng = np.random.default_rng(3)
     x = rng.standard_normal((1000, 333)).astype(np.float32)
