@@ -82,8 +82,8 @@ class DuoEngine:
             )
         return self._chunk_fns[bucket]
 
-    def _decode_fn(self, bucket: int, num_steps: int):
-        key = (bucket, num_steps)
+    def _decode_fn(self, bucket: int, num_steps: int, sample: bool = False):
+        key = (bucket, num_steps, sample)
         if key not in self._decode_fns:
             self._decode_fns[key] = jax.jit(
                 functools.partial(
@@ -94,6 +94,7 @@ class DuoEngine:
                     full_bucket=bucket,
                     num_steps=num_steps,
                     mesh=self.mesh,
+                    sample=sample,
                 ),
                 donate_argnums=(1,),
             )
@@ -144,9 +145,15 @@ class DuoEngine:
         max_new_tokens: int,
         cache: Optional[DuoCache] = None,
         stop_token_ids: Optional[list] = None,
+        sampling=None,
     ) -> Tuple[np.ndarray, DuoCache]:
-        """Greedy generation: chunked prefill then on-device decode scan.
+        """Generation: chunked prefill then on-device decode scan.
 
+        sampling: Optional[ops.sampling.SamplingParams]; None or
+        temperature=0 -> greedy argmax (the reference eval default),
+        otherwise temperature/top-p/top-k sampling with the PRNG key
+        carried inside the scan (QServe Sampler counterpart,
+        demo/w8a8kv4_llama.py:280-287).
         Returns (generated token ids [B, max_new_tokens], cache)."""
         input_ids = np.asarray(input_ids)
         if cache is None:  # host-known length: fail before touching the chip
@@ -156,10 +163,29 @@ class DuoEngine:
                 f"= {self.duo.max_cache_size}"
             )
         cache, logits = self.prefill(input_ids, cache)
-        first_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
         bucket = self.bucket_for(input_ids.shape[1] + max_new_tokens)
-        fn = self._decode_fn(bucket, max_new_tokens)
-        tokens, cache = fn(self.params, cache, first_token)
+        B = input_ids.shape[0]
+        do_sample = sampling is not None and not sampling.is_greedy
+        if do_sample:
+            from .ops.sampling import sample_tokens
+
+            vec = lambda v, dt: jnp.full((B,), v, dt)  # noqa: E731
+            temp = vec(sampling.temperature, jnp.float32)
+            top_p = vec(sampling.top_p, jnp.float32)
+            top_k = vec(sampling.top_k, jnp.int32)
+            key = jax.random.PRNGKey(sampling.seed)
+            key, sub = jax.random.split(key)
+            first_token = jax.jit(sample_tokens)(
+                logits.astype(jnp.float32), sub, temp, top_p, top_k
+            )
+            fn = self._decode_fn(bucket, max_new_tokens, sample=True)
+            tokens, cache = fn(
+                self.params, cache, first_token, (key, temp, top_p, top_k)
+            )
+        else:
+            first_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
+            fn = self._decode_fn(bucket, max_new_tokens)
+            tokens, cache = fn(self.params, cache, first_token)
         tokens = np.asarray(tokens)  # [B, max_new_tokens]
         if stop_token_ids:
             tokens = _truncate_at_stop(tokens, stop_token_ids)
@@ -185,28 +211,43 @@ def _chunk_step(params, cache, chunk, n_valid, *, cfg, duo, attn_impl,
 
 
 def _decode_scan(
-    params, cache, first_token, *, cfg, duo, attn_impl, full_bucket,
-    num_steps, mesh=None,
+    params, cache, first_token, sample_state=None, *, cfg, duo, attn_impl,
+    full_bucket, num_steps, mesh=None, sample=False,
 ):
-    """Greedy decode of ``num_steps`` tokens as a device-side scan.
+    """Decode ``num_steps`` tokens as a device-side scan.
 
-    Carry = (cache, next_token). Emits the token fed at each step, so the
-    output sequence starts with ``first_token`` and contains num_steps ids.
+    Carry = (cache, next_token[, prng key]). Emits the token fed at each
+    step, so the output sequence starts with ``first_token`` and contains
+    num_steps ids. With ``sample=True``, ``sample_state`` is
+    (key, temperature [B], top_p [B], top_k [B]) and each step draws from
+    the filtered distribution (ops/sampling.py) instead of argmax.
     """
+    if sample:
+        key0, temp, top_p, top_k = sample_state
+        from .ops.sampling import sample_tokens
 
     def step(carry, _):
-        cache, token = carry
+        if sample:
+            cache, token, key = carry
+        else:
+            cache, token = carry
         hidden, cache = llama.forward_chunk(
             params, cfg, duo, cache, token[:, None],
             attn_impl=attn_impl, full_bucket=full_bucket, mesh=mesh,
         )
         logits = llama.logits_at(params, hidden, 0)
+        if sample:
+            key, sub = jax.random.split(key)
+            next_token = sample_tokens(
+                logits.astype(jnp.float32), sub, temp, top_p, top_k
+            )
+            return (cache, next_token, key), token
         next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (cache, next_token), token
 
-    (cache, _), tokens = jax.lax.scan(
-        step, (cache, first_token), None, length=num_steps
-    )
+    init = (cache, first_token, key0) if sample else (cache, first_token)
+    carry, tokens = jax.lax.scan(step, init, None, length=num_steps)
+    cache = carry[0]
     # Overrun guard: decoding past max_cache_size clamps the in-place
     # writes (ops/inplace.py) so the chip never faults, but the results
     # are garbage — poison the whole output with -1 so callers fail

@@ -59,18 +59,22 @@ TASK_MAXGEN: Dict[str, int] = {
     "passage_retrieval_zh": 32, "lcc": 64, "repobench-p": 64,
 }
 
+# task -> scorer, matching the reference task-by-task
+# (eval/LongBench/eval.py:18-40): the four zh-text tasks use the
+# jieba-segmented scorers (metrics.qa_f1_zh_score etc.); lsht is Chinese
+# but classification scoring is language-neutral (substring match).
 TASK_METRIC = {
     "narrativeqa": M.qa_f1_score, "qasper": M.qa_f1_score,
-    "multifieldqa_en": M.qa_f1_score, "multifieldqa_zh": M.qa_f1_score,
+    "multifieldqa_en": M.qa_f1_score, "multifieldqa_zh": M.qa_f1_zh_score,
     "hotpotqa": M.qa_f1_score, "2wikimqa": M.qa_f1_score,
-    "musique": M.qa_f1_score, "dureader": M.rouge_score,
+    "musique": M.qa_f1_score, "dureader": M.rouge_zh_score,
     "gov_report": M.rouge_score, "qmsum": M.rouge_score,
-    "multi_news": M.rouge_score, "vcsum": M.rouge_score,
+    "multi_news": M.rouge_score, "vcsum": M.rouge_zh_score,
     "trec": M.classification_score, "triviaqa": M.qa_f1_score,
     "samsum": M.rouge_score, "lsht": M.classification_score,
     "passage_count": M.count_score,
     "passage_retrieval_en": M.retrieval_score,
-    "passage_retrieval_zh": M.retrieval_score,
+    "passage_retrieval_zh": M.retrieval_zh_score,
     "lcc": M.code_sim_score, "repobench-p": M.code_sim_score,
 }
 

@@ -107,6 +107,12 @@ def embed_lookup(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     return params["embed"][input_ids]
 
 
+def head_logits(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """Public lm-head: hidden [..., E] -> logits [..., vocab] f32 (full
+    sequence; used by pretraining and eval oracles)."""
+    return _head_logits(params, h)
+
+
 def _head_logits(params: Params, h: jnp.ndarray) -> jnp.ndarray:
     """h [..., E] -> logits [..., vocab] in f32 (W8A8 head when present)."""
     if "lm_head_q8" in params:
@@ -127,6 +133,7 @@ def _head_logits(params: Params, h: jnp.ndarray) -> jnp.ndarray:
         acc = jax.lax.dot_general(
             hq, params["embed_q8"], (((hq.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         return acc.astype(jnp.float32) * hs * params["embed_scale"]
     return (h @ lm_head_weight(params)).astype(jnp.float32)

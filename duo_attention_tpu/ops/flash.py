@@ -209,11 +209,16 @@ class _OnlineSoftmax:
             ke8, ko8 = nibble_planes(kp)  # each [bk//2, D] int8
             q8, q_sc = quant_rows(qf)
             q8_rowsum = jnp.sum(q8.astype(jnp.int32), axis=-1, keepdims=True)
+            # precision pinned: an ambient jax_default_matmul_precision of
+            # "highest" would stamp fp32 contract precision onto these
+            # int8 MXU matmuls, which Mosaic rejects ("Bad lhs type")
             me = jax.lax.dot_general(
-                q8, ke8, dims, preferred_element_type=jnp.int32
+                q8, ke8, dims, preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             mo = jax.lax.dot_general(
-                q8, ko8, dims, preferred_element_type=jnp.int32
+                q8, ko8, dims, preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             s_e = me.astype(jnp.float32) * (q_sc * scale_row(ks, 0)) \
                 + q_rowsum * scale_row(ks, 2)
@@ -266,7 +271,10 @@ class _OnlineSoftmax:
                 # tokens — the residual digit drops it ~250x for one more
                 # (HBM-free) MXU matmul per half.
                 def one(x8, x_sc):
-                    c = jax.lax.dot(x8, v8, preferred_element_type=jnp.int32)
+                    c = jax.lax.dot(
+                        x8, v8, preferred_element_type=jnp.int32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
                     if odd:
                         rs = jnp.sum(
                             x8.astype(jnp.int32), axis=-1, keepdims=True

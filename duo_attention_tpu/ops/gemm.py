@@ -39,9 +39,12 @@ def _w8a8_kernel(xq_ref, xs_ref, wq_ref, ws_ref, o_ref, acc_ref, *, n_k):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # precision pinned to DEFAULT: ambient "highest" matmul precision would
+    # request fp32 contraction on int8 operands (Mosaic: "Bad lhs type")
     acc_ref[...] += jax.lax.dot_general(
         xq_ref[...], wq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
     @pl.when(k == n_k - 1)

@@ -171,6 +171,7 @@ def int8_matmul(xq: jnp.ndarray, x_scale, wq: jnp.ndarray, w_scale,
     acc = jax.lax.dot_general(
         xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # "highest" is invalid for int8
     )
     return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
 

@@ -42,6 +42,7 @@ from .cache import (
 )
 from .config import DuoConfig, ModelConfig
 from .models import llama
+from .ops.sampling import SamplingParams, sample_tokens_rowkeys
 
 
 @dataclasses.dataclass
@@ -50,6 +51,9 @@ class Request:
     prompt_ids: np.ndarray  # [S]
     max_new_tokens: int
     stop_token_ids: tuple = ()
+    # None or temperature==0 -> greedy; else temperature/top-p/top-k
+    # sampling on a per-request PRNG stream (ops/sampling.py)
+    sampling: Optional["SamplingParams"] = None
     # filled in by the engine:
     generated: Optional[List[int]] = None
     prompt_len: int = 0
@@ -94,20 +98,29 @@ def _row_cache_to_batch(batch_cache, row_cache, slot):
 
 
 def _batched_decode_step(
-    params, cache, tokens, active, *, cfg, duo, attn_impl, full_bucket
+    params, cache, tokens, active, samp=None, *, cfg, duo, attn_impl,
+    full_bucket,
 ):
     """One decode step for every slot; inactive slots don't advance.
 
-    tokens: [B] int32 current tokens; active: [B] bool.
-    Returns (next_tokens [B], cache)."""
+    tokens: [B] int32 current tokens; active: [B] bool. samp: None for
+    all-greedy, else (keys [B], temperature [B], top_p [B], top_k [B]) —
+    per-slot sampling with per-request PRNG streams.
+    Returns (next_tokens [B], cache[, advanced keys])."""
     hidden, cache = llama.forward_chunk(
         params, cfg, duo, cache, tokens[:, None],
         n_valid=active.astype(jnp.int32),
         attn_impl=attn_impl, full_bucket=full_bucket,
     )
     logits = llama.logits_at(params, hidden, 0)  # [B, vocab]
-    next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return jnp.where(active, next_tokens, tokens), cache
+    if samp is None:
+        next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jnp.where(active, next_tokens, tokens), cache
+    keys, temp, top_p, top_k = samp
+    next_tokens, keys = sample_tokens_rowkeys(
+        logits.astype(jnp.float32), keys, temp, top_p, top_k
+    )
+    return jnp.where(active, next_tokens, tokens), cache, keys
 
 
 class ServingEngine:
@@ -148,6 +161,14 @@ class ServingEngine:
         )
         self.tokens = jnp.zeros((max_batch_size,), jnp.int32)
         self.lengths = np.zeros(max_batch_size, np.int64)  # host mirror
+        # per-slot sampling state (host mirrors; greedy rows have temp 0)
+        self.samp_temp = np.zeros(max_batch_size, np.float32)
+        self.samp_top_p = np.ones(max_batch_size, np.float32)
+        self.samp_top_k = np.zeros(max_batch_size, np.int32)
+        # placeholder per-slot keys; admission installs PRNGKey(req seed)
+        self.samp_keys = jax.random.split(
+            jax.random.PRNGKey(0), max_batch_size
+        )
         self.slots: List[Optional[Request]] = [None] * max_batch_size
         self.pending: List[Request] = []
         self.finished: List[Request] = []
@@ -226,7 +247,26 @@ class ServingEngine:
         if off < req.prompt_len:
             self._admitting = (req, slot, cache, off)
             return
-        first = int(jnp.argmax(logits, axis=-1)[0])
+        sp = req.sampling
+        if sp is not None and not sp.is_greedy:
+            self.samp_temp[slot] = sp.temperature
+            self.samp_top_p[slot] = sp.top_p
+            self.samp_top_k[slot] = sp.top_k
+            key = jax.random.PRNGKey(sp.seed)
+            row = jnp.asarray([slot])
+            toks, keys = jax.jit(sample_tokens_rowkeys)(
+                logits.astype(jnp.float32), key[None],
+                jnp.asarray([sp.temperature], jnp.float32),
+                jnp.asarray([sp.top_p], jnp.float32),
+                jnp.asarray([sp.top_k], jnp.int32),
+            )
+            first = int(toks[0])
+            self.samp_keys = self.samp_keys.at[row].set(keys)
+        else:
+            self.samp_temp[slot] = 0.0
+            self.samp_top_p[slot] = 1.0
+            self.samp_top_k[slot] = 0
+            first = int(jnp.argmax(logits, axis=-1)[0])
         self.cache = self._splice(self.cache, cache, slot)
         self.tokens = self.tokens.at[slot].set(first)
         self.lengths[slot] = req.prompt_len
@@ -236,8 +276,8 @@ class ServingEngine:
         self._admitting = None
         self._maybe_finish(slot)
 
-    def _decode_fn(self, bucket, steps=1):
-        key = (bucket, steps)
+    def _decode_fn(self, bucket, steps=1, sample=False):
+        key = (bucket, steps, sample)
         if key not in self._decode_fns:
             one = functools.partial(
                 _batched_decode_step,
@@ -258,7 +298,22 @@ class ServingEngine:
                 )
                 return tokens, cache, seq.T  # [B, steps]
 
-            self._decode_fns[key] = jax.jit(burst, donate_argnums=(1,))
+            def burst_sampled(params, cache, tokens, active, keys, temp,
+                              top_p, top_k):
+                def body(carry, _):
+                    toks, cache, keys = carry
+                    toks, cache, keys = one(
+                        params, cache, toks, active, (keys, temp, top_p, top_k)
+                    )
+                    return (toks, cache, keys), toks
+
+                (tokens, cache, keys), seq = jax.lax.scan(
+                    body, (tokens, cache, keys), None, length=steps
+                )
+                return tokens, cache, seq.T, keys
+
+            fn = burst_sampled if sample else burst
+            self._decode_fns[key] = jax.jit(fn, donate_argnums=(1,))
         return self._decode_fns[key]
 
     def _decode_step(self):
@@ -276,10 +331,19 @@ class ServingEngine:
             self._next_bucket(maxlen + steps),
             self.duo.max_cache_size,
         )
-        fn = self._decode_fn(bucket, steps)
-        self.tokens, self.cache, seq = fn(
-            self.params, self.cache, self.tokens, jnp.asarray(active_np)
-        )
+        # the all-greedy pool skips the sampling sort entirely
+        sample = bool(np.any(self.samp_temp[active_np] > 0.0))
+        fn = self._decode_fn(bucket, steps, sample=sample)
+        if sample:
+            self.tokens, self.cache, seq, self.samp_keys = fn(
+                self.params, self.cache, self.tokens, jnp.asarray(active_np),
+                self.samp_keys, jnp.asarray(self.samp_temp),
+                jnp.asarray(self.samp_top_p), jnp.asarray(self.samp_top_k),
+            )
+        else:
+            self.tokens, self.cache, seq = fn(
+                self.params, self.cache, self.tokens, jnp.asarray(active_np)
+            )
         self.trace.append(("decode", steps))
         seq = np.asarray(seq)  # [B, steps]
         for i, req in enumerate(self.slots):
@@ -305,3 +369,6 @@ class ServingEngine:
             self.finished.append(req)
             self.slots[slot] = None
             self.lengths[slot] = 0
+            self.samp_temp[slot] = 0.0  # freed slot back to greedy default
+            self.samp_top_p[slot] = 1.0
+            self.samp_top_k[slot] = 0

@@ -86,8 +86,9 @@ class MultiPasskeyDataset:
         ]
         return names, codes, rng
 
-    def __getitem__(self, idx: int):
-        """Returns dict(input_ids [S], labels [S]) as numpy int32/int64."""
+    def _assemble_context(self, idx: int):
+        """Haystack with passkeys inserted at sampled depths; returns
+        (context_ids, names, codes)."""
         cfg = self.cfg
         ctx_len = int(self.context_lengths[idx % len(self.context_lengths)])
         names, codes, rng = self.build_text(idx)
@@ -102,8 +103,6 @@ class MultiPasskeyDataset:
             for name, code in zip(names, codes)
         ]
         q_ids = [self._encode(q) for q in questions]
-        # answer span = tokens of " {code}." suffix — supervise those
-        ans_ids = [self._encode(f" {code}.") for code in codes]
         p_ids = [self._encode(p) for p in passkey_sents]
 
         budget = ctx_len - sum(len(x) for x in q_ids) - sum(len(x) for x in p_ids)
@@ -124,10 +123,23 @@ class MultiPasskeyDataset:
             ids.extend(p)
             prev = d
         ids.extend(hay_ids[prev:])
+        return ids, names, codes
+
+    def __getitem__(self, idx: int):
+        """Returns dict(input_ids [S], labels [S]) as numpy int32/int64."""
+        cfg = self.cfg
+        ids, names, codes = self._assemble_context(idx)
+        questions = [
+            f"\nQuestion: what is the secret code of {name}? Answer: {code}."
+            for name, code in zip(names, codes)
+        ]
+        q_ids = [self._encode(q) for q in questions]
+        # answer span = tokens of " {code}." suffix — supervise those
+        ans_ids = [self._encode(f" {code}.") for code in codes]
 
         labels = [IGNORE_INDEX] * len(ids)
         for q, a in zip(q_ids, ans_ids):
-            ids.extend(q)
+            ids = ids + q
             labels.extend([IGNORE_INDEX] * (len(q) - len(a)) + q[-len(a):])
 
         # pad (right) to multiple — padding is never supervised
@@ -140,6 +152,16 @@ class MultiPasskeyDataset:
             "input_ids": np.asarray(ids, np.int32),
             "labels": np.asarray(labels, np.int64),
         }
+
+    def eval_prompt(self, idx: int, question_index: int = 0):
+        """Generation-style eval sample: context + ONE question cut at
+        "Answer:", plus the expected answer text. Returns
+        (input_ids [S] int32, answer_text str)."""
+        ids, names, codes = self._assemble_context(idx)
+        qi = question_index % len(names)
+        q = f"\nQuestion: what is the secret code of {names[qi]}? Answer:"
+        ids = ids + self._encode(q)
+        return np.asarray(ids, np.int32), codes[qi]
 
 
 def collate(samples: List[dict], pad_to: Optional[int] = None) -> dict:

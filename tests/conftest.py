@@ -12,14 +12,22 @@ env var alone is ignored once the plugin is registered).
 
 import os
 
-# Must precede first backend initialization.
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-).strip()
+_TPU_SMOKE = os.environ.get("DUO_TPU_TESTS") == "1"
+
+if not _TPU_SMOKE:
+    # Must precede first backend initialization.
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_SMOKE:
+    # DUO_TPU_TESTS=1 keeps the default (TPU) backend for the on-TPU
+    # smoke suite (tests/test_tpu_smoke.py); everything else runs on the
+    # virtual 8-device CPU mesh.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Compiles through the axon tunnel are slow; local CPU compiles are fast,

@@ -159,3 +159,37 @@ def test_bench_serving_smoke():
     agg, kv = bench_serving(cfg, duo, batch=2, ctx_len=256,
                             kv_quant="none", steps=4, w8a8=False)
     assert agg > 0 and kv > 0
+
+
+def test_zh_metrics_match_reference_values():
+    """Values cross-checked against the reference scorers
+    (eval/LongBench/metrics.py zh variants incl. py-rouge rouge-l f)."""
+    from duo_attention_tpu.evals import metrics as M
+
+    assert M.normalize_zh_answer("你好， 世界！Hello.") == "你好世界hello"
+
+    assert M.qa_f1_zh_score("北京是中国的首都。", "中国的首都是北京") == 1.0
+    assert abs(M.qa_f1_zh_score("答案是苹果和香蕉", "苹果") - 1 / 3) < 1e-9
+    assert abs(M.qa_f1_zh_score("他于1995年出生在上海市", "1995年生于上海") - 0.4) < 1e-9
+    assert M.qa_f1_zh_score("完全不相关的文本", "北京大学") == 0.0
+
+    assert M.retrieval_zh_score("答案是段落3", "段落3") == 1.0
+    assert M.retrieval_zh_score("段落1或者段落3", "段落3") == 0.5
+    assert M.retrieval_zh_score("没有数字", "段落2") == 0.0
+
+    assert abs(M.rouge_zh_score("北京是中国的首都。", "中国的首都是北京") - 0.5455) < 1e-3
+    assert abs(M.rouge_zh_score("他于1995年出生在上海市", "1995年生于上海") - 0.4) < 1e-9
+
+
+def test_zh_tasks_route_to_zh_scorers():
+    """TASK_METRIC matches the reference's dataset2metric task-by-task
+    (eval/LongBench/eval.py:18-40)."""
+    from duo_attention_tpu.evals import metrics as M
+    from duo_attention_tpu.evals.longbench import TASK_METRIC
+
+    assert TASK_METRIC["multifieldqa_zh"] is M.qa_f1_zh_score
+    assert TASK_METRIC["dureader"] is M.rouge_zh_score
+    assert TASK_METRIC["vcsum"] is M.rouge_zh_score
+    assert TASK_METRIC["passage_retrieval_zh"] is M.retrieval_zh_score
+    assert TASK_METRIC["lsht"] is M.classification_score  # language-neutral
+    assert TASK_METRIC["multifieldqa_en"] is M.qa_f1_score
