@@ -56,6 +56,12 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False
     model_type: str = "llama"
+    # Mixtral MoE (0 experts = dense MLP). The reference's attention-only
+    # patch leaves HF's MoE MLP intact (duo_attn/patch/__init__.py:44);
+    # here the MoE MLP is part of the functional model (models/llama._mlp
+    # routes on these fields).
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
 
     @property
     def num_kv_groups(self) -> int:
@@ -215,6 +221,20 @@ PRESETS = {
     "Mistral-7B-Instruct-v0.3": dataclasses.replace(MISTRAL_7B_V02, vocab_size=32768),
     "tiny-llama": TINY_LLAMA,
     "tiny-gqa": TINY_GQA,
+    # smallest MHA config whose 8 KV heads divide an sp=8 Ulysses mesh —
+    # used by the long-context sequence-parallel training demonstration
+    # (scripts/train_scaled_cpu.sh)
+    "tiny-sp8": ModelConfig(
+        vocab_size=512,
+        hidden_size=128,
+        intermediate_size=256,
+        num_layers=2,
+        num_heads=8,
+        num_kv_heads=8,
+        head_dim=16,
+        rope_theta=10000.0,
+        max_position_embeddings=32768,
+    ),
 }
 
 
@@ -248,6 +268,8 @@ def config_from_hf_dict(d: dict) -> ModelConfig:
         tie_word_embeddings=d.get("tie_word_embeddings", False),
         attention_bias=d.get("attention_bias", False),
         model_type=d.get("model_type", "llama"),
+        num_local_experts=d.get("num_local_experts", 0),
+        num_experts_per_tok=d.get("num_experts_per_tok", 2),
     )
 
 

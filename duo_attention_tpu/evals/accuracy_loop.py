@@ -77,7 +77,9 @@ def eval_retrieval(engine, tokenizer, dataset, n_samples: int,
     overlaps, exacts = [], []
     for i in range(n_samples):
         ids, answer = dataset.eval_prompt(offset + i)
-        n_ans = len(answer) + 8  # byte tokenizer: chars ~= tokens
+        # generous budget either way: word tokenizer ~1 token/word, byte
+        # tokenizer ~1 token/char
+        n_ans = len(answer) + 8
         toks, _ = engine.generate(ids[None], max_new_tokens=n_ans)
         text = decode_ids(tokenizer, toks[0])
         overlaps.append(word_overlap_score(text, answer))
@@ -108,9 +110,13 @@ def run_loop(
 
     enable_compilation_cache()
     os.makedirs(out_dir, exist_ok=True)
-    tokenizer = get_tokenizer("byte")
+    # word-level tokens: passkey retrieval becomes the canonical
+    # induction-head copy task (the granularity a real BPE gives the
+    # reference's NATO-alphabet passkeys)
+    tokenizer = get_tokenizer("word")
     dcfg = PasskeyDataConfig(
-        context_length_min=ctx_min, context_length_max=ctx_max,
+        context_length_min=min(128, ctx_min),  # short-range curriculum
+        context_length_max=ctx_max,
         num_passkeys=2, passkey_length=3,
     )
     dataset = MultiPasskeyDataset(tokenizer, dcfg, num_samples=100_000)

@@ -185,10 +185,34 @@ def params_from_state_dict(
             "wo": _to_dtype(
                 _T(get(pre + "self_attn.o_proj.weight"), col_perm=q_chan), dtype
             ),
-            "w_gate": _to_dtype(_T(get(pre + "mlp.gate_proj.weight")), dtype),
-            "w_up": _to_dtype(_T(get(pre + "mlp.up_proj.weight")), dtype),
-            "w_down": _to_dtype(_T(get(pre + "mlp.down_proj.weight")), dtype),
         }
+        if cfg.num_local_experts > 0:
+            # Mixtral MoE block (HF names: block_sparse_moe.gate + per-
+            # expert w1=gate/w3=up [ffn, hidden], w2=down [hidden, ffn]);
+            # experts are stacked on a leading E axis for the batched
+            # einsum in models/llama._moe_mlp. The reference's
+            # attention-only patch leaves this block untouched
+            # (duo_attn/patch/__init__.py:44).
+            moe = pre + "block_sparse_moe."
+            layer["moe_gate"] = _to_dtype(
+                _T(get(moe + "gate.weight")), jnp.float32
+            )
+            stacks = {"experts_w_gate": "w1", "experts_w_up": "w3",
+                      "experts_w_down": "w2"}
+            for ours, hf in stacks.items():
+                mats = [
+                    _T(get(f"{moe}experts.{e}.{hf}.weight"))
+                    for e in range(cfg.num_local_experts)
+                ]
+                layer[ours] = _to_dtype(np.stack(mats), dtype)
+        else:
+            layer["w_gate"] = _to_dtype(
+                _T(get(pre + "mlp.gate_proj.weight")), dtype
+            )
+            layer["w_up"] = _to_dtype(_T(get(pre + "mlp.up_proj.weight")), dtype)
+            layer["w_down"] = _to_dtype(
+                _T(get(pre + "mlp.down_proj.weight")), dtype
+            )
         if cfg.attention_bias:
             bq = np.asarray(get(pre + "self_attn.q_proj.bias"))
             bk = np.asarray(get(pre + "self_attn.k_proj.bias"))

@@ -71,10 +71,17 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
             "wk": dense(lk[1], (E, Hkv * D)),
             "wv": dense(lk[2], (E, Hkv * D)),
             "wo": dense(lk[3], (Hq * D, E)),
-            "w_gate": dense(lk[4], (E, I)),
-            "w_up": dense(lk[5], (E, I)),
-            "w_down": dense(lk[6], (I, E)),
         }
+        if cfg.num_local_experts > 0:
+            X = cfg.num_local_experts
+            layer["moe_gate"] = dense(lk[7], (E, X)).astype(jnp.float32)
+            layer["experts_w_gate"] = dense(lk[4], (X, E, I), scale=E ** -0.5)
+            layer["experts_w_up"] = dense(lk[5], (X, E, I), scale=E ** -0.5)
+            layer["experts_w_down"] = dense(lk[6], (X, I, E), scale=I ** -0.5)
+        else:
+            layer["w_gate"] = dense(lk[4], (E, I))
+            layer["w_up"] = dense(lk[5], (E, I))
+            layer["w_down"] = dense(lk[6], (I, E))
         if cfg.attention_bias:
             layer["bq"] = jnp.zeros((Hq * D,), dtype)
             layer["bk"] = jnp.zeros((Hkv * D,), dtype)
@@ -174,12 +181,44 @@ def _qkv(layer: Params, x: jnp.ndarray, cfg: ModelConfig):
     return q, k, v
 
 
-def _mlp(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
+def _mlp(layer: Params, x: jnp.ndarray, cfg: Optional[ModelConfig] = None) -> jnp.ndarray:
+    if "moe_gate" in layer:
+        k = cfg.num_experts_per_tok if cfg is not None else 2
+        return _moe_mlp(layer, x, k)
     return _proj(
         layer,
         jax.nn.silu(_proj(layer, x, "w_gate")) * _proj(layer, x, "w_up"),
         "w_down",
     )
+
+
+def _moe_mlp(layer: Params, x: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """Mixtral sparse-MoE MLP with dense dispatch.
+
+    Semantics match HF MixtralSparseMoeBlock: softmax router over the
+    top-k expert logits per token, SwiGLU experts, weighted sum. Dispatch
+    is DENSE (every expert computes every token, masked by the combine
+    weights): at the tiny-to-8-expert scale this framework runs MoE at,
+    one batched [E]-stacked einsum keeps the MXU busy with static shapes,
+    where a gather/scatter dispatch would serialize into dynamic-shape
+    ops XLA can't tile. Capacity-factor ragged dispatch is the upgrade
+    path if MoE ever becomes a serving target (the reference never runs
+    MoE beyond 'the patch does not break it': duo_attn/patch/__init__.py:44).
+    """
+    dt = x.dtype
+    logits = (x.astype(jnp.float32) @ layer["moe_gate"].astype(jnp.float32))
+    topv, topi = jax.lax.top_k(logits, top_k)  # [B, S, k]
+    w = jax.nn.softmax(topv, axis=-1)
+    E = layer["moe_gate"].shape[-1]
+    combine = jnp.sum(
+        w[..., None] * jax.nn.one_hot(topi, E, dtype=w.dtype), axis=-2
+    )  # [B, S, E]
+    # stacked experts: w_gate/w_up [E, H, F], w_down [E, F, H]
+    g = jnp.einsum("bsh,ehf->bsef", x, layer["experts_w_gate"].astype(dt))
+    u = jnp.einsum("bsh,ehf->bsef", x, layer["experts_w_up"].astype(dt))
+    act = jax.nn.silu(g) * u
+    out = jnp.einsum("bsef,efh->bseh", act, layer["experts_w_down"].astype(dt))
+    return jnp.sum(out * combine[..., :, None].astype(dt), axis=2)
 
 
 def _expand_mask(m: jnp.ndarray) -> jnp.ndarray:
@@ -431,7 +470,7 @@ def forward_chunk(
         attn_out = attn_out.reshape(B, S, cfg.num_heads * cfg.head_dim)
         x = x + _proj(layer, attn_out, "wo")
         h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
-        x = x + _mlp(layer, h)
+        x = x + _mlp(layer, h, cfg)
         cache = _replace_layer(cache, li, new_bufs)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
@@ -528,7 +567,7 @@ def forward_two_way(
         full_out = full_fn(qt, kt, vt)  # [B, S, Hq, D]
         full_out = jax.lax.stop_gradient(full_out)
         ht = ht + _proj(layer, full_out.reshape(B, S, -1), "wo")
-        ht = ht + _mlp(layer, rms_norm(ht, layer["post_norm"], cfg.rms_norm_eps))
+        ht = ht + _mlp(layer, rms_norm(ht, layer["post_norm"], cfg.rms_norm_eps), cfg)
         ht = jax.lax.stop_gradient(ht)
 
         # --- student ---
@@ -542,7 +581,7 @@ def forward_two_way(
         )
         mixed = mixed.astype(stream_out.dtype)
         hs = hs + _proj(layer, mixed.reshape(B, S, -1), "wo")
-        hs = hs + _mlp(layer, rms_norm(hs, layer["post_norm"], cfg.rms_norm_eps))
+        hs = hs + _mlp(layer, rms_norm(hs, layer["post_norm"], cfg.rms_norm_eps), cfg)
 
     ht = rms_norm(ht, params["final_norm"], cfg.rms_norm_eps)
     hs = rms_norm(hs, params["final_norm"], cfg.rms_norm_eps)
@@ -577,5 +616,5 @@ def forward_full_attention(
         attn = causal_attention_ref(q, k, v)
         x = x + _proj(layer, attn.reshape(B, S, -1), "wo")
         h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
-        x = x + _mlp(layer, h)
+        x = x + _mlp(layer, h, cfg)
     return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

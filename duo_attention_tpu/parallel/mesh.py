@@ -227,3 +227,69 @@ def dryrun_step(n_devices: int) -> None:
     except ImportError:
         return
     dryrun_train_step(n_devices)
+
+    # 1M-token-context sharded decode (the BASELINE.json per-host target).
+    dryrun_1m_decode(n_devices)
+
+
+def dryrun_1m_decode(n_devices: int, ctx: int = 1 << 20) -> None:
+    """One decode step against a TRUE 1M-token INT4 KV cache, head-sharded
+    over the tensor axis (parallel/spmd.py path).
+
+    The reference reaches 1M ctx with 8-GPU tensor parallelism
+    (scripts/run_niah.sh:2-8); one 16 GB v5e tops out at ~320k, so the 1M
+    deployment is the sharded path. Model depth/width are reduced so host
+    RAM holds the buffers, but the KV-cache geometry is real: Llama-class
+    KV heads x head_dim 128 x 1,048,576 token slots, INT4-packed, sharded
+    4-way — the per-device KV bytes printed here scale linearly to the
+    32-layer flagship (see PARITY.md 1M table).
+    """
+    from ..cache import init_cache_q4, kv_memory_bytes
+    from ..config import DuoConfig, ModelConfig
+    from ..models import llama
+
+    tensor = 4 if n_devices >= 4 else n_devices
+    cfg = ModelConfig(
+        vocab_size=512,
+        hidden_size=1024,
+        intermediate_size=2048,
+        num_layers=2,
+        num_heads=8,
+        num_kv_heads=8,
+        head_dim=128,
+        model_type="llama",
+    )
+    duo = DuoConfig(
+        sink_size=64,
+        recent_size=256,
+        num_full_kv_heads=(tensor,) * cfg.num_layers,  # sparsity 0.5 at tp=4
+        max_cache_size=ctx,
+        prefill_chunk_size=512,
+    )
+    mesh_devices = np.array(jax.devices()[:tensor]).reshape(1, tensor)
+    mesh = Mesh(mesh_devices, axis_names=("data", "tensor"))
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    cache = init_cache_q4(cfg, duo, batch_size=1)
+    cache = cache._replace(length=jnp.asarray(ctx - 8, jnp.int32))
+    params, cache, p_sh, c_sh = shard_inference_state(mesh, cfg, duo, params, cache)
+    token = jnp.zeros((1, 1), jnp.int32)
+
+    @jax.jit
+    def decode(params, cache, token):
+        hidden, cache = llama.forward_chunk(
+            params, cfg, duo, cache, token, attn_impl="pallas",
+            full_bucket=ctx, mesh=mesh,
+        )
+        return llama.logits_at(params, hidden, 0), cache
+
+    logits, cache = decode(params, cache, token)
+    jax.block_until_ready(logits)
+    assert logits.shape == (1, cfg.vocab_size)
+    assert bool(jnp.isfinite(logits).all()), "non-finite logits at 1M ctx"
+    kv = kv_memory_bytes(cache)
+    print(
+        f"[dryrun] 1M-ctx sharded decode ok: tp={tensor}, "
+        f"KV {kv / 1e9:.2f} GB total, {kv / tensor / 1e9:.2f} GB/device "
+        f"({cfg.num_layers} layers; x16 for the 32-layer flagship)",
+        flush=True,
+    )

@@ -99,7 +99,7 @@ class MultiPasskeyDataset:
             for name, code in zip(names, codes)
         ]
         questions = [
-            f"\nQuestion: what is the secret code of {name}? Answer: {code}."
+            f"\nQuestion: the secret code of {name} is {code}."
             for name, code in zip(names, codes)
         ]
         q_ids = [self._encode(q) for q in questions]
@@ -129,8 +129,14 @@ class MultiPasskeyDataset:
         """Returns dict(input_ids [S], labels [S]) as numpy int32/int64."""
         cfg = self.cfg
         ids, names, codes = self._assemble_context(idx)
+        # The recall prompt restates the passkey sentence's n-gram ("the
+        # secret code of {name} is") so the answer is a literal
+        # continuation — the same restating trick as the reference's
+        # "what is the ... passkey?\nPasskey: " prompt (duo_attn/
+        # data.py:78-79), and the form a from-scratch tiny model can
+        # learn via prefix-match induction.
         questions = [
-            f"\nQuestion: what is the secret code of {name}? Answer: {code}."
+            f"\nQuestion: the secret code of {name} is {code}."
             for name, code in zip(names, codes)
         ]
         q_ids = [self._encode(q) for q in questions]
@@ -159,7 +165,7 @@ class MultiPasskeyDataset:
         (input_ids [S] int32, answer_text str)."""
         ids, names, codes = self._assemble_context(idx)
         qi = question_index % len(names)
-        q = f"\nQuestion: what is the secret code of {names[qi]}? Answer:"
+        q = f"\nQuestion: the secret code of {names[qi]} is"
         ids = ids + self._encode(q)
         return np.asarray(ids, np.int32), codes[qi]
 

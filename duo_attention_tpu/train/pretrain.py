@@ -35,9 +35,9 @@ from .data import (
     data_iterator,
 )
 
-# Gate-trainable tiny model: byte vocab, 4 layers x 4 KV heads (GQA 2x).
+# Gate-trainable tiny model: 4 layers x 4 KV heads (GQA 2x).
 TINY_LM = ModelConfig(
-    vocab_size=320,  # ByteTokenizer ids < 259, padded up for tiling
+    vocab_size=512,  # covers ByteTokenizer (<259) and WordTokenizer (512)
     hidden_size=256,
     intermediate_size=512,
     num_layers=4,
@@ -84,9 +84,11 @@ def lm_loss(params, cfg: ModelConfig, ids, labels=None, pad_id: int = 0,
 
 def make_step(cfg: ModelConfig, pcfg: PretrainConfig):
     warmup = min(pcfg.warmup_steps, max(pcfg.num_steps // 10, 1))
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, pcfg.lr, warmup, max(pcfg.num_steps, warmup + 1)
-    )
+    # Constant lr after warmup: the induction-head circuit the passkey
+    # task needs emerges via a late phase transition (measured here:
+    # pure-copy loss 6.2 -> 1e-4 between steps 300-500 at constant 3e-3);
+    # a decaying schedule can starve that transition.
+    sched = optax.linear_schedule(0.0, pcfg.lr, warmup)
     opt = optax.chain(
         optax.clip_by_global_norm(pcfg.grad_clip),
         optax.adamw(sched, weight_decay=pcfg.weight_decay),
@@ -131,8 +133,32 @@ def pretrain(
     opt, step = make_step(cfg, pcfg)
     opt_state = opt.init(params)
     losses = []
+    S_pad = dcfg.context_length_max + 256
+    copy_rng = np.random.default_rng(pcfg.seed + 1)
     for i in range(pcfg.num_steps):
-        batch = next(it)
+        if i % 4 == 3:
+            # Copy-curriculum batch: a random-length random segment tiled
+            # to fill the sequence, supervised after the first period.
+            # Dense prefix-match supervision forces the induction circuit
+            # (the passkey answers alone are <1% of tokens and never
+            # leave the marginal-distribution optimum). The period MUST
+            # vary per row: with a fixed period the model learns a
+            # positional offset copier instead of content-based prefix
+            # matching, which does not transfer to retrieval (measured:
+            # fixed-offset copy loss 0.1 with passkey accuracy stuck at
+            # chance).
+            ids = np.empty((pcfg.batch_size, S_pad), np.int32)
+            labels = np.full((pcfg.batch_size, S_pad), IGNORE_INDEX, np.int64)
+            for b in range(pcfg.batch_size):
+                seg_len = int(copy_rng.integers(48, S_pad // 2))
+                seg = copy_rng.integers(3, cfg.vocab_size, seg_len)
+                reps = S_pad // seg_len + 1
+                row = np.tile(seg, reps)[:S_pad]
+                ids[b] = row
+                labels[b, seg_len:] = row[seg_len:]
+            batch = {"input_ids": ids, "labels": labels}
+        else:
+            batch = next(it)
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(batch["input_ids"]),
             jnp.asarray(batch["labels"]),

@@ -247,17 +247,24 @@ class GateTrainer:
         return float(loss), float(d), float(reg)
 
     def train(self, data_iter, log_every: int = 10, wandb_run=None):
+        sched = lr_schedule(self.tcfg)
         for _ in range(self.step_idx, self.tcfg.num_steps):
             batch = next(data_iter)
             loss, d, reg = self.train_step(batch["input_ids"], batch["labels"])
+            lr = float(sched(self.step_idx))
             if self.step_idx % log_every == 0:
                 print(
                     f"[train] step {self.step_idx} loss={loss:.5f} "
-                    f"distill={d:.5f} reg={reg:.5f}"
+                    f"distill={d:.5f} reg={reg:.5f} lr={lr:.5f} "
+                    f"len={batch['input_ids'].shape[1]}"
                 )
             if wandb_run is not None:
+                # reference logs lr + sample_len + a live gate heatmap per
+                # step (train.py:179-195); the heatmap PNG is refreshed at
+                # every save (save() below) rather than every step
                 wandb_run.log(
                     {"loss": loss, "distill_loss": d, "reg_loss": reg,
+                     "lr": lr, "sample_len": batch["input_ids"].shape[1],
                      "step": self.step_idx}
                 )
             if self.step_idx % self.tcfg.save_steps == 0:
@@ -327,6 +334,11 @@ def main():
     p.add_argument("--tokenizer", default="byte")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--haystack", default=None)
+    p.add_argument("--pad-to", type=int, default=None,
+                   help="fixed batch length (one compile instead of one "
+                        "per distinct sample length)")
+    p.add_argument("--block-k", type=int, default=512)
+    p.add_argument("--log-every", type=int, default=10)
     args = p.parse_args()
 
     mcfg = PRESETS[args.model]
@@ -341,6 +353,7 @@ def main():
         output_dir=args.output_dir,
         dp=args.dp,
         sp=args.sp,
+        block_k=args.block_k,
     )
     mesh = build_mesh_for(tcfg)
     params = llama.init_params(mcfg, jax.random.PRNGKey(0))
@@ -356,8 +369,9 @@ def main():
         haystack_path=args.haystack,
     )
     dataset = MultiPasskeyDataset(tokenizer, dcfg)
-    it = data_iterator(dataset, tcfg.batch_size * max(tcfg.dp, 1))
-    trainer.train(it)
+    it = data_iterator(dataset, tcfg.batch_size * max(tcfg.dp, 1),
+                       pad_to=args.pad_to)
+    trainer.train(it, log_every=args.log_every)
 
 
 if __name__ == "__main__":
