@@ -97,13 +97,14 @@ def run_loop(
     gate_steps: int = 600,
     eval_samples: int = 16,
     sparsity: float = 0.5,
-    cfg: ModelConfig = TINY_LM,
+    cfg: Optional[ModelConfig] = None,
     ctx_min: int = 256,
     ctx_max: int = 1024,
     sink: int = 16,
     recent: int = 64,
     batch_size: int = 8,
     reuse_lm: bool = True,
+    lm: str = "constructed",
 ) -> dict:
     from ..train.trainer import GateTrainConfig, GateTrainer
     from ..utils import enable_compilation_cache
@@ -121,19 +122,33 @@ def run_loop(
     )
     dataset = MultiPasskeyDataset(tokenizer, dcfg, num_samples=100_000)
 
-    # -- 1. pretrain (full attention) --------------------------------------
-    lm_path = os.path.join(out_dir, "tiny_lm.npz")
+    # -- 1. obtain a retrieval-capable LM (full attention) ------------------
+    # lm="constructed": exact hand-built induction circuit in our Llama
+    # architecture (models/constructed.py) — deterministic, and its
+    # ground-truth retrieval heads are KNOWN (layer 1, heads 0/1), so the
+    # gate trainer is validated against a known answer. lm="pretrain":
+    # gradient-trained tiny LM (train/pretrain.py) — retained, but
+    # content-based induction did not emerge within this environment's
+    # compute budget (see constructed.py docstring for the measurements).
     losses = []
-    if reuse_lm and os.path.exists(lm_path):
-        params = load_lm(lm_path, cfg)
-        print(f"[loop] reusing pretrained LM at {lm_path}", flush=True)
+    if lm == "constructed":
+        from ..models.constructed import CONSTRUCTED_LM, build_params
+
+        cfg = CONSTRUCTED_LM
+        params = build_params(tokenizer)
     else:
-        params, losses = pretrain(
-            cfg, PretrainConfig(num_steps=pretrain_steps,
-                                batch_size=batch_size),
-            dcfg, tokenizer,
-        )
-        save_lm(params, lm_path)
+        cfg = cfg or TINY_LM
+        lm_path = os.path.join(out_dir, "tiny_lm.npz")
+        if reuse_lm and os.path.exists(lm_path):
+            params = load_lm(lm_path, cfg)
+            print(f"[loop] reusing pretrained LM at {lm_path}", flush=True)
+        else:
+            params, losses = pretrain(
+                cfg, PretrainConfig(num_steps=pretrain_steps,
+                                    batch_size=batch_size),
+                dcfg, tokenizer,
+            )
+            save_lm(params, lm_path)
     tf_acc = answer_token_accuracy(params, cfg, dataset, n_samples=16,
                                    offset=50_000)
     print(f"[loop] teacher-forced answer accuracy (full attn): {tf_acc:.3f}",
@@ -174,6 +189,7 @@ def run_loop(
               f"exact={results[name]['exact_match']:.3f}", flush=True)
 
     report = {
+        "lm": lm,
         "model": dataclasses.asdict(cfg),
         "pretrain_steps": pretrain_steps,
         "pretrain_loss_curve": losses,
@@ -198,6 +214,8 @@ def main():
     p.add_argument("--gate-steps", type=int, default=600)
     p.add_argument("--eval-samples", type=int, default=16)
     p.add_argument("--sparsity", type=float, default=0.5)
+    p.add_argument("--lm", choices=["constructed", "pretrain"],
+                   default="constructed")
     p.add_argument("--fresh", action="store_true",
                    help="retrain even if artifacts exist")
     args = p.parse_args()
@@ -208,6 +226,7 @@ def main():
         eval_samples=args.eval_samples,
         sparsity=args.sparsity,
         reuse_lm=not args.fresh,
+        lm=args.lm,
     )
     r = report["results"]
     print(json.dumps({k: v["word_overlap"] for k, v in r.items()}))

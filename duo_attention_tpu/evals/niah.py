@@ -34,10 +34,13 @@ DEFAULT_QUESTION = (
 )
 DEFAULT_ANSWER = "under the old stone bridge in Harmony Creek"
 
+# NOTE: disjoint from train.data._CODE_WORDS — a code word occurring in
+# the filler creates false continuation evidence for retrieval models
+# (the token after a haystack occurrence is arbitrary)
 _WORDS = (
     "river meadow lantern harvest compass timber orchard saddle copper "
-    "bellows anchor thicket granite whisper barley summit hollow ember "
-    "drift pasture mill crossing ledger harbor spindle furrow"
+    "bellows brook thicket granite whisper barley crag hollow ember "
+    "drift pasture mill crossing ledger wharf spindle furrow"
 ).split()
 
 

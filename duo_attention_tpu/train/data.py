@@ -80,9 +80,17 @@ class MultiPasskeyDataset:
         rng = np.random.default_rng(self.cfg.seed + idx)
         n = self.cfg.num_passkeys
         names = list(rng.choice(_NAMES, size=n, replace=False))
+        # all code words of a sample are distinct: a repeated word makes
+        # the continuation ambiguous (two different successors for the
+        # same word), which caps achievable retrieval accuracy for ANY
+        # model — same reason the reference draws passkey word sequences
+        # from a large alphabet (duo_attn/data.py:19)
+        k = self.cfg.passkey_length
+        flat = rng.choice(
+            _CODE_WORDS, size=min(n * k, len(_CODE_WORDS)), replace=False
+        )
         codes = [
-            " ".join(rng.choice(_CODE_WORDS, size=self.cfg.passkey_length))
-            for _ in range(n)
+            " ".join(flat[i * k : (i + 1) * k]) for i in range(n)
         ]
         return names, codes, rng
 
@@ -114,9 +122,12 @@ class MultiPasskeyDataset:
             hay = procedural_haystack(budget * 6, seed=cfg.seed + idx)
         hay_ids = self._encode(hay)[:budget]
 
-        # insert passkeys at sorted random depths
+        # insert passkeys at sorted random depths; BOS leads the sequence
+        # (attention-sink anchor — models rely on it, reference sink_size
+        # serves the same role at deployment)
         depths = sorted(rng.integers(0, max(len(hay_ids), 1), size=len(p_ids)))
-        ids: List[int] = []
+        bos = getattr(self.tokenizer, "bos_token_id", None)
+        ids: List[int] = [] if bos is None else [bos]
         prev = 0
         for d, p in zip(depths, p_ids):
             ids.extend(hay_ids[prev:d])

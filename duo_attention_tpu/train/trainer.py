@@ -235,6 +235,19 @@ class GateTrainer:
 
     def train_step(self, ids: np.ndarray, labels: np.ndarray):
         ids = jnp.asarray(ids)
+        # Shift supervision to PREDICTION positions: hidden state t
+        # predicts token t+1, so the position feeding the first answer
+        # token (the question's final prompt token) must be inside the
+        # distill mask — otherwise a head that only serves first-token
+        # retrieval is invisible to the loss (observed: the constructed
+        # model's bigram head got gate 0 while its continuation head got
+        # 0.95). The reference masks at answer positions directly
+        # (train.py:126-146); its 32-token spans hide the off-by-one.
+        labels = np.asarray(labels)
+        labels = np.concatenate(
+            [labels[:, 1:], np.full((labels.shape[0], 1), IGNORE_INDEX,
+                                    labels.dtype)], axis=1,
+        )
         labels = jnp.asarray(labels)
         if self.mesh is not None and (self.tcfg.dp > 1 or self.tcfg.sp > 1):
             sh = NamedSharding(self.mesh, P("data", "seq"))

@@ -1,0 +1,96 @@
+"""End-to-end accuracy loop on the constructed retrieval model.
+
+Validates the framework's central scientific capability (reference:
+eval/needle/needle_in_haystack.py — retrieval accuracy preserved under
+the trained duo pattern) without pretrained checkpoints: the constructed
+induction circuit (models/constructed.py) solves the multi-passkey task
+exactly, and its retrieval heads are KNOWN (layer 1, heads 0/1), so both
+the engine's pattern plumbing and the gate trainer are checked against a
+ground truth rather than against another model.
+"""
+
+import numpy as np
+import pytest
+
+from duo_attention_tpu.evals.accuracy_loop import build_engine, eval_retrieval
+from duo_attention_tpu.models.constructed import CONSTRUCTED_LM, build_params
+from duo_attention_tpu.tokenizer import get_tokenizer
+from duo_attention_tpu.train.data import (
+    MultiPasskeyDataset,
+    PasskeyDataConfig,
+    data_iterator,
+)
+
+SINK, RECENT = 16, 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tokenizer = get_tokenizer("word")
+    dcfg = PasskeyDataConfig(
+        context_length_min=128, context_length_max=512,
+        num_passkeys=2, passkey_length=3,
+    )
+    dataset = MultiPasskeyDataset(tokenizer, dcfg, num_samples=100_000)
+    params = build_params(tokenizer)
+    return tokenizer, dataset, params
+
+
+def ground_truth_pattern():
+    """Layer-1 heads 0/1 are the retrieval (full-attention) heads."""
+    binary = np.zeros((2, 4), np.float32)
+    binary[1, 0] = binary[1, 1] = 1.0
+    return binary
+
+
+def test_constructed_solves_task_teacher_forced(setup):
+    from duo_attention_tpu.train.pretrain import answer_token_accuracy
+
+    _, dataset, params = setup
+    acc = answer_token_accuracy(params, CONSTRUCTED_LM, dataset,
+                                n_samples=4, offset=50_000)
+    assert acc == 1.0
+
+
+def test_three_way_retrieval_with_ground_truth_pattern(setup):
+    """Engine generation: full == ground-truth duo pattern >> inverted."""
+    tokenizer, dataset, params = setup
+    binary = ground_truth_pattern()
+    scores = {}
+    for name, pattern in [
+        ("full", np.ones_like(binary)),
+        ("duo", binary),
+        ("inverted", 1.0 - binary),
+    ]:
+        eng = build_engine(params, CONSTRUCTED_LM, pattern, SINK, RECENT,
+                           max_cache=1024, chunk=256)
+        scores[name] = eval_retrieval(eng, tokenizer, dataset,
+                                      n_samples=3, offset=60_000)
+    assert scores["full"]["word_overlap"] == 1.0
+    assert scores["duo"]["word_overlap"] == 1.0
+    assert scores["inverted"]["word_overlap"] < 0.5
+
+
+@pytest.mark.slow
+def test_gate_training_discovers_retrieval_heads(setup):
+    """A short GateTrainer run separates the known retrieval heads from
+    the local heads (full 600-step protocol: evals/accuracy_loop.py)."""
+    from duo_attention_tpu.train.trainer import GateTrainConfig, GateTrainer
+
+    tokenizer, dataset, params = setup
+    tcfg = GateTrainConfig(
+        lr=0.02, reg_weight=0.05, num_steps=80, warmup_steps=10,
+        sink_size=SINK, recent_size=RECENT, batch_size=4,
+        save_steps=80, output_dir="/tmp/duo_test_gate_run", block_k=128,
+    )
+    trainer = GateTrainer(params, CONSTRUCTED_LM, tcfg)
+    it = data_iterator(dataset, batch_size=4, pad_to=768)
+    trainer.train(it, log_every=20)
+    gates = np.asarray(trainer.gates)
+    retrieval = gates[1, :2]
+    local = np.concatenate([gates[0], gates[1, 2:]])
+    # measured at 80 steps: retrieval 0.92/0.94, every local head 0.20
+    # (the 600-step protocol drives locals to 0.00 — artifacts/)
+    assert retrieval.min() > 0.6, gates
+    assert local.max() < 0.35, gates
+    assert retrieval.min() > local.max() + 0.4, gates
