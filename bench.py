@@ -23,13 +23,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(num_layers, ctx_len, sparsity, chunk=8192, w8a8=False, kv_quant="none"):
-    from duo_attention_tpu.config import LLAMA3_8B_1048K, DuoConfig
-    from duo_attention_tpu.engine import DuoEngine
-    from duo_attention_tpu.models import llama
+def model_cfg(num_layers):
+    from duo_attention_tpu.config import LLAMA3_8B_1048K
     import dataclasses
 
-    cfg = dataclasses.replace(LLAMA3_8B_1048K, num_layers=num_layers)
+    return dataclasses.replace(LLAMA3_8B_1048K, num_layers=num_layers)
+
+
+def build(cfg, ctx_len, sparsity, chunk=8192, params=None, kv_quant="none"):
+    """Engine at the given sparsity. params=None -> fresh bf16 init;
+    pass shared W8A8 params to avoid re-initializing between the duo and
+    baseline engines (the weights are identical either way — only the
+    head split differs — and each init of a 32-layer model costs real
+    wall time through the remote runtime)."""
+    from duo_attention_tpu.config import DuoConfig
+    from duo_attention_tpu.engine import DuoEngine
+    from duo_attention_tpu.models import llama
+
     num_full = round(cfg.num_kv_heads * (1 - sparsity))
     duo = DuoConfig(
         sink_size=64,
@@ -38,25 +48,14 @@ def build(num_layers, ctx_len, sparsity, chunk=8192, w8a8=False, kv_quant="none"
         max_cache_size=ctx_len,
         prefill_chunk_size=chunk,
     )
-    if w8a8:
-        # layer-streaming init+quantize: a deep bf16 model would not fit
-        # the chip alongside its int8 copy (demo.py does the same).
-        # int8 embeds/lm_head are part of the W8A8 contract and measured
-        # faster at decode (the bf16 lm_head read is 1.5 ms/step alone).
-        from duo_attention_tpu.ops.quant import init_params_w8a8
-
-        params = init_params_w8a8(
-            cfg, jax.random.PRNGKey(0), quantize_embeds=True
-        )
-    else:
+    if params is None:
         params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
-    eng = DuoEngine(
+    return DuoEngine(
         params, cfg, duo, batch_size=1, dtype=jnp.bfloat16, kv_quant=kv_quant
     )
-    return eng
 
 
-def bench_decode(eng, ctx_len, steps=64, warmup=8, repeats=5):
+def bench_decode(eng, ctx_len, steps=64, repeats=5):
     """Decode tokens/s with the cache pre-advanced to ctx_len (the
     steady-state long-context decode regime the reference measures).
 
@@ -69,6 +68,10 @@ def bench_decode(eng, ctx_len, steps=64, warmup=8, repeats=5):
     BENCH failure: headroom sized for 3 repeats while the loop ran 5)."""
     from duo_attention_tpu.utils import fence
 
+    # warmup reuses the timed num_steps program: a separate short-scan
+    # warmup program would be a second multi-minute executable to
+    # compile/load per engine for no benefit
+    warmup = steps
     headroom = repeats * steps + warmup + steps
     assert ctx_len > headroom, (ctx_len, headroom)
     cache = eng.new_cache()
@@ -78,10 +81,9 @@ def bench_decode(eng, ctx_len, steps=64, warmup=8, repeats=5):
     token = jnp.zeros((1,), jnp.int32)
 
     bucket = eng.bucket_for(ctx_len)
-    warm_fn = eng._decode_fn(bucket, warmup)
-    tokens, cache = warm_fn(eng.params, cache, token)
-    fence(tokens)
     step_fn = eng._decode_fn(bucket, steps)
+    tokens, cache = step_fn(eng.params, cache, token)
+    fence(tokens)
     # first timed call absorbs one-time dispatch/link costs; report the best
     # of the remaining runs (reference protocol: mean after warmup,
     # eval/efficiency/benchmark_static.py:96-105 — we are stricter; five
@@ -98,34 +100,58 @@ def bench_decode(eng, ctx_len, steps=64, warmup=8, repeats=5):
 
 
 def main():
-    """North-star comparison (BASELINE.json): the duo W8A8KV4 serving
-    config (sparsity 0.5, INT8 weight/activation linears, INT4 full-head
-    KV with in-kernel dequant — the reference demo path,
-    demo/run_duo_w8a8kv4.py) against the full-attention FP16/bf16
-    baseline at the same context length."""
+    """Headline: the FLAGSHIP serving config — full 32-layer Llama-3-8B,
+    W8A8 weights/activations + INT4 KV (the reference demo path,
+    demo/run_duo_w8a8kv4.py) at 128k context on one 16 GB chip — duo at
+    sparsity 0.5 vs full attention (sparsity 0) AT MATCHED PRECISION, so
+    vs_baseline isolates the DuoAttention contribution (the reference's
+    own baseline switch: scripts/run_efficiency.sh sparsity 0). The bf16
+    full-attention baseline cannot exist at this scale on-chip (its KV
+    alone is 16 GB at 128k x 32 layers); the 8-layer proxy comparison
+    against bf16 lives in duo_attention_tpu/evals/efficiency.py
+    (--proxy here re-runs it)."""
     from duo_attention_tpu.utils import enable_compilation_cache
 
+    from duo_attention_tpu.ops.quant import init_params_w8a8_random
+
     enable_compilation_cache()
+    proxy = "--proxy" in sys.argv
     ctx_len = 131072
-    num_layers = 8
-
-    eng_duo = build(num_layers, ctx_len, sparsity=0.5, w8a8=True, kv_quant="int4")
+    num_layers = 8 if proxy else 32
+    cfg = model_cfg(num_layers)
+    # one dispatch; int8 embeds/lm_head are part of the W8A8 contract and
+    # measured faster at decode (the bf16 lm_head read is 1.5 ms/step)
+    params = init_params_w8a8_random(cfg, jax.random.PRNGKey(0))
+    eng_duo = build(cfg, ctx_len, sparsity=0.5, params=params,
+                    kv_quant="int4")
     duo_tps, duo_kv = bench_decode(eng_duo, ctx_len)
-    del eng_duo
-
-    eng_full = build(num_layers, ctx_len, sparsity=0.0)
+    print(f"[bench] duo done: {duo_tps:.1f} tok/s", file=sys.stderr,
+          flush=True)
+    del eng_duo  # frees the duo cache before the baseline's is allocated
+    if proxy:
+        eng_full = build(cfg, ctx_len, sparsity=0.0)
+        label = "full bf16"
+        metric = f"decode_tokens_per_s_{ctx_len//1024}k_ctx_w8a8kv4_duo0.5"
+    else:
+        eng_full = build(cfg, ctx_len, sparsity=0.0, params=params,
+                         kv_quant="int4")
+        label = "full W8A8KV4"
+        metric = (
+            f"flagship_8b_decode_tokens_per_s_{ctx_len//1024}k_ctx_"
+            "w8a8kv4_duo0.5"
+        )
     full_tps, full_kv = bench_decode(eng_full, ctx_len)
     del eng_full
 
     result = {
-        "metric": f"decode_tokens_per_s_{ctx_len//1024}k_ctx_w8a8kv4_duo0.5",
+        "metric": metric,
         "value": round(duo_tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(duo_tps / full_tps, 3),
     }
     print(
         f"[bench] duo W8A8KV4: {duo_tps:.1f} tok/s, KV {duo_kv/1e9:.2f} GB | "
-        f"full bf16: {full_tps:.1f} tok/s, KV {full_kv/1e9:.2f} GB | "
+        f"{label}: {full_tps:.1f} tok/s, KV {full_kv/1e9:.2f} GB | "
         f"speedup {duo_tps/full_tps:.2f}x, KV ratio {full_kv/duo_kv:.2f}x",
         file=sys.stderr,
     )

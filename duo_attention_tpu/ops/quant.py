@@ -290,3 +290,61 @@ def init_params_w8a8(cfg, key, dtype=None, quantize_embeds: bool = False):
     if quantize_embeds:
         top = quantize_embeddings_int8(top)
     return top
+
+
+def init_params_w8a8_random(cfg, key, quantize_embeds: bool = True):
+    """Random W8A8 params sampled DIRECTLY as int8, in one device dispatch.
+
+    Benchmark/test fast path: init_params_w8a8 streams bf16 layer inits
+    through a per-layer quantize (needed when quantizing real weights
+    without 2x peak HBM), which costs ~2 dispatches per layer — ~70
+    tunnel round trips for a 32-layer model. Decode/prefill speed is
+    value-independent, so benchmarks only need the right shapes/dtypes:
+    here every int8 tensor is sampled uniform in [-127, 127] and scales
+    are set to fan_in**-0.5 / 127 (keeping activations O(1) so no
+    inf/nan paths are hit), all inside ONE jit — a single round trip.
+    """
+    import dataclasses  # noqa: F401  (parity with init_params_w8a8 imports)
+
+    E, D = cfg.hidden_size, cfg.head_dim
+    Hq, Hkv, I = cfg.num_heads, cfg.num_kv_heads, cfg.intermediate_size
+    V = cfg.vocab_size
+
+    def rand_q8(key, shape):
+        w = jax.random.randint(key, shape, -127, 128, jnp.int8)
+        return w, jnp.full((shape[-1],), shape[0] ** -0.5 / 127.0,
+                           jnp.float32)
+
+    def build(key):
+        keys = jax.random.split(key, cfg.num_layers + 2)
+        layers = []
+        for li in range(cfg.num_layers):
+            lk = jax.random.split(keys[li], 7)
+            layer = {"input_norm": jnp.ones((E,), jnp.bfloat16),
+                     "post_norm": jnp.ones((E,), jnp.bfloat16)}
+            for k, sub, shape in (
+                ("wq", lk[0], (E, Hq * D)), ("wk", lk[1], (E, Hkv * D)),
+                ("wv", lk[2], (E, Hkv * D)), ("wo", lk[3], (Hq * D, E)),
+                ("w_gate", lk[4], (E, I)), ("w_up", lk[5], (E, I)),
+                ("w_down", lk[6], (I, E)),
+            ):
+                layer[k + "_q8"], layer[k + "_scale"] = rand_q8(sub, shape)
+            layers.append(layer)
+        top = {"layers": tuple(layers),
+               "final_norm": jnp.ones((E,), jnp.bfloat16)}
+        if quantize_embeds:
+            top["embed_q8"] = jax.random.randint(
+                keys[-2], (V, E), -127, 128, jnp.int8)
+            top["embed_scale"] = jnp.full((V,), 0.02 / 127.0, jnp.float32)
+            top["lm_head_q8"], top["lm_head_scale"] = rand_q8(keys[-1],
+                                                              (E, V))
+        else:
+            top["embed"] = (
+                jax.random.normal(keys[-2], (V, E), jnp.float32) * 0.02
+            ).astype(jnp.bfloat16)
+            top["lm_head"] = (
+                jax.random.normal(keys[-1], (E, V), jnp.float32) * E ** -0.5
+            ).astype(jnp.bfloat16)
+        return top
+
+    return jax.jit(build)(key)

@@ -16,9 +16,15 @@ _TPU_SMOKE = os.environ.get("DUO_TPU_TESTS") == "1"
 
 if not _TPU_SMOKE:
     # Must precede first backend initialization.
+    # Collective-rendezvous timeouts: 8 virtual devices time-slice onto
+    # ONE host core here, so arrival spread at a collective is unbounded
+    # under load and XLA's defaults (warn 20s, ABORT 40s) turn scheduler
+    # jitter into a SIGABRT mid-suite.
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
     ).strip()
 
 import jax  # noqa: E402
