@@ -49,6 +49,7 @@ class DuoEngine:
         attn_impl: str = "auto",
         kv_quant: str = "none",
         mesh=None,
+        decode_burst: int = 64,
     ):
         self.params = params
         self.cfg = cfg
@@ -64,6 +65,13 @@ class DuoEngine:
         self.mesh = mesh
         assert kv_quant in ("none", "int4")
         self.kv_quant = kv_quant
+        # Compile-surface control: ``generate`` decodes in fixed-size
+        # scanned bursts and trims on the host, so the executable set is
+        # one program per (bucket) instead of one per (bucket,
+        # max_new_tokens) — each distinct step count is otherwise a fresh
+        # multi-minute scanned-program compile through the remote runtime.
+        # 0 disables bursting (exact-length scan, the pre-burst behavior).
+        self.decode_burst = max(int(decode_burst), 0)
         self._chunk_fns = {}
         self._decode_fns = {}
 
@@ -82,8 +90,9 @@ class DuoEngine:
             )
         return self._chunk_fns[bucket]
 
-    def _decode_fn(self, bucket: int, num_steps: int, sample: bool = False):
-        key = (bucket, num_steps, sample)
+    def _decode_fn(self, bucket: int, num_steps: int, sample: bool = False,
+                   return_next: bool = False):
+        key = (bucket, num_steps, sample, return_next)
         if key not in self._decode_fns:
             self._decode_fns[key] = jax.jit(
                 functools.partial(
@@ -95,6 +104,7 @@ class DuoEngine:
                     num_steps=num_steps,
                     mesh=self.mesh,
                     sample=sample,
+                    return_next=return_next,
                 ),
                 donate_argnums=(1,),
             )
@@ -163,7 +173,6 @@ class DuoEngine:
                 f"= {self.duo.max_cache_size}"
             )
         cache, logits = self.prefill(input_ids, cache)
-        bucket = self.bucket_for(input_ids.shape[1] + max_new_tokens)
         B = input_ids.shape[0]
         do_sample = sampling is not None and not sampling.is_greedy
         if do_sample:
@@ -178,18 +187,85 @@ class DuoEngine:
             first_token = jax.jit(sample_tokens)(
                 logits.astype(jnp.float32), sub, temp, top_p, top_k
             )
-            fn = self._decode_fn(bucket, max_new_tokens, sample=True)
-            tokens, cache = fn(
-                self.params, cache, first_token, (key, temp, top_p, top_k)
-            )
+            sample_args = (key, temp, top_p, top_k)
         else:
             first_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
-            fn = self._decode_fn(bucket, max_new_tokens)
-            tokens, cache = fn(self.params, cache, first_token)
-        tokens = np.asarray(tokens)  # [B, max_new_tokens]
+            sample_args = None
+        tokens, cache = self.decode_tokens(
+            cache, first_token, max_new_tokens,
+            length=input_ids.shape[1],
+            sample_args=sample_args, stop_token_ids=stop_token_ids,
+        )
         if stop_token_ids:
             tokens = _truncate_at_stop(tokens, stop_token_ids)
         return tokens, cache
+
+    def decode_tokens(
+        self,
+        cache: DuoCache,
+        first_token: jnp.ndarray,
+        max_new_tokens: int,
+        length: int,
+        sample_args=None,
+        stop_token_ids: Optional[list] = None,
+    ) -> Tuple[np.ndarray, DuoCache]:
+        """Decode ``max_new_tokens`` in fixed-size scanned bursts.
+
+        ``length`` is the host-known token count already in the cache
+        (``first_token`` is fed at that position). The step count is
+        decomposed into ``decode_burst``-sized bursts plus a power-of-two
+        decomposition of the remainder, so the executable set per bucket
+        is bounded by ``1 + log2(decode_burst)`` scanned programs shared
+        by EVERY ``max_new_tokens`` a caller asks for — each distinct
+        scan length is otherwise a fresh multi-minute compile through the
+        remote runtime (serving.py solves the same problem with
+        host-trimmed fixed bursts; here the exact total keeps
+        ``cache.length`` truthful for callers that continue from the
+        returned cache). With ``stop_token_ids``, decoding stops at the
+        first burst where every row has emitted a stop token, making
+        short answers cheaper than the requested budget (the reference
+        pays full ``max_new_tokens`` everywhere,
+        eval/needle/needle_in_haystack.py:302-314).
+        Returns (tokens [B, max_new_tokens] host array, cache)."""
+        burst = self.decode_burst
+        if burst <= 0 or max_new_tokens <= 0:
+            plan = [max(max_new_tokens, 0)]
+        else:
+            plan = [burst] * (max_new_tokens // burst)
+            rem = max_new_tokens % burst
+            while rem:  # powers of two: ≤ log2(burst) extra programs
+                p = 1 << (rem.bit_length() - 1)
+                plan.append(p)
+                rem -= p
+        bucket = self.bucket_for(length + sum(plan))
+        sample = sample_args is not None
+        if sample:
+            key, temp, top_p, top_k = sample_args
+        out = []
+        token = first_token
+        for steps in plan:
+            fn = self._decode_fn(bucket, steps, sample=sample,
+                                 return_next=True)
+            if sample:
+                key, sub = jax.random.split(key)
+                tokens, cache, token = fn(
+                    self.params, cache, token, (sub, temp, top_p, top_k)
+                )
+            else:
+                tokens, cache, token = fn(self.params, cache, token)
+            out.append(np.asarray(tokens))
+            if stop_token_ids:
+                acc = np.concatenate(out, axis=1)
+                if all(np.isin(row, stop_token_ids).any() for row in acc):
+                    break
+        tokens = np.concatenate(out, axis=1)
+        if tokens.shape[1] < max_new_tokens:  # early stop: pad with stop id
+            pad = np.full(
+                (tokens.shape[0], max_new_tokens - tokens.shape[1]),
+                stop_token_ids[0], tokens.dtype,
+            )
+            tokens = np.concatenate([tokens, pad], axis=1)
+        return tokens[:, :max_new_tokens], cache
 
     def decode_step(self, cache: DuoCache, token: jnp.ndarray, length: int):
         """Single decode step (used by eval 'simulation' mode,
@@ -212,7 +288,7 @@ def _chunk_step(params, cache, chunk, n_valid, *, cfg, duo, attn_impl,
 
 def _decode_scan(
     params, cache, first_token, sample_state=None, *, cfg, duo, attn_impl,
-    full_bucket, num_steps, mesh=None, sample=False,
+    full_bucket, num_steps, mesh=None, sample=False, return_next=False,
 ):
     """Decode ``num_steps`` tokens as a device-side scan.
 
@@ -255,6 +331,8 @@ def _decode_scan(
     # BENCH_r01 lesson).
     overrun = jnp.any(cache.length > duo.max_cache_size)
     tokens = jnp.where(overrun, jnp.full_like(tokens, -1), tokens)
+    if return_next:  # carry[1] = the token AFTER the last emitted one,
+        return tokens.T, cache, carry[1]  # so bursts can chain
     return tokens.T, cache  # [B, num_steps]
 
 

@@ -143,11 +143,12 @@ def predict_task(
                     _, cache = engine.decode_step(
                         cache, jnp.asarray(arr[:, pos + t - 1]), pos + t
                     )
-                fn = engine._decode_fn(
-                    engine.bucket_for(arr.shape[1] + gen_len), gen_len
+                # burst decode: reuses the engine's per-bucket programs
+                # instead of compiling one scan per distinct gen_len
+                tokens, _ = engine.decode_tokens(
+                    cache, jnp.asarray(arr[:, -1]), gen_len,
+                    length=arr.shape[1],
                 )
-                tokens, _ = fn(engine.params, cache, jnp.asarray(arr[:, -1]))
-                tokens = np.asarray(tokens)
             else:
                 tokens, _ = engine.generate(arr, gen_len)
             pred = decode_ids(tokenizer, tokens[0])

@@ -141,17 +141,12 @@ class NIAHTester:
                 _, cache = self.engine.decode_step(
                     cache, jnp.asarray(prompt[:, pos + t - 1]), pos + t
                 )
-            # generate from the simulated state
-            fn = self.engine._decode_fn(
-                self.engine.bucket_for(prompt.shape[1] + self.cfg.gen_tokens),
-                self.cfg.gen_tokens,
+            # generate from the simulated state (burst decode: reuses the
+            # engine's one compiled per-bucket program)
+            tokens, cache = self.engine.decode_tokens(
+                cache, jnp.asarray(prompt[:, -1]), self.cfg.gen_tokens,
+                length=prompt.shape[1],
             )
-            import jax.numpy as jnp2
-
-            tokens, cache = fn(
-                self.engine.params, cache, jnp2.asarray(prompt[:, -1])
-            )
-            tokens = np.asarray(tokens)
         else:
             tokens, _ = self.engine.generate(prompt, self.cfg.gen_tokens)
         latency = time.perf_counter() - t0

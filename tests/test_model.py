@@ -255,3 +255,45 @@ def test_engine_greedy_matches_teacher_forcing(tiny):
     for t in range(4):
         # prediction at position 24+t-1 produced tokens[t]
         assert preds[0, 23 + t] == tokens[0, t]
+
+
+def test_engine_burst_decode_matches_exact(tiny):
+    """Burst decomposition (fixed bursts + power-of-two tail) must produce
+    the same greedy tokens and cache length as the exact-length scan
+    (decode_burst=0), for a step count hitting the multi-program plan
+    path: burst=4, 11 steps -> plan [4, 4, 2, 1]."""
+    cfg, params = tiny
+    duo = make_duo(cfg, 1, chunk=16, max_size=128)
+    ids = np.asarray(rand_ids(cfg, 1, 20, seed=11))
+    eng_exact = DuoEngine(params, cfg, duo, batch_size=1,
+                          dtype=jnp.float32, decode_burst=0)
+    want, cache_exact = eng_exact.generate(ids, max_new_tokens=11)
+    eng_burst = DuoEngine(params, cfg, duo, batch_size=1,
+                          dtype=jnp.float32, decode_burst=4)
+    got, cache_burst = eng_burst.generate(ids, max_new_tokens=11)
+    np.testing.assert_array_equal(got, want)
+    assert int(cache_burst.length) == int(cache_exact.length) == 20 + 11
+    # compile surface: one program per DISTINCT plan entry (both 4-step
+    # bursts share one executable)
+    burst_keys = sorted(k[1] for k in eng_burst._decode_fns)
+    assert burst_keys == [1, 2, 4]
+
+
+def test_engine_burst_early_stop(tiny):
+    """With stop_token_ids, decode ends at the first burst where every
+    row has emitted a stop token; output is still [B, max_new_tokens],
+    padded with the stop id."""
+    cfg, params = tiny
+    duo = make_duo(cfg, 1, chunk=16, max_size=256)
+    eng = DuoEngine(params, cfg, duo, batch_size=1, dtype=jnp.float32,
+                    decode_burst=4)
+    ids = np.asarray(rand_ids(cfg, 1, 20, seed=13))
+    free_run, _ = eng.generate(ids, max_new_tokens=48)
+    stop = int(free_run[0, 1])  # appears in the first burst
+    tokens, cache = eng.generate(ids, max_new_tokens=48,
+                                 stop_token_ids=[stop])
+    assert tokens.shape == (1, 48)
+    first = int(np.argmax(tokens[0] == stop))
+    assert (tokens[0, first + 1:] == stop).all()
+    # decode stopped after the burst containing the stop token, not 48
+    assert int(cache.length) < 20 + 48
