@@ -435,15 +435,19 @@ def forward_chunk(
 ) -> Tuple[jnp.ndarray, DuoCache]:
     """One forward step over a chunk of tokens with cache update.
 
-    input_ids: [B, S] (S static; tail beyond n_valid is padding).
+    input_ids: [B, S] (S static; tail beyond n_valid is padding), or
+    pre-embedded hidden states [B, S, E] for a non-first pipeline stage
+    (parallel/pipeline.py) — the embed lookup is skipped.
     n_valid: traced scalar count of real tokens in this chunk (default S).
     full_bucket: static bound on full-cache length after this chunk (see
     _duo_layer_attention); the engine buckets it so only live cache blocks
     are touched.
     Returns (hidden_states [B, S, E] post-final-norm, new cache with
-    length advanced by n_valid).
+    length advanced by n_valid). The final RMSNorm is applied only when
+    ``params`` carries ``final_norm`` — a pipeline stage that is not the
+    last holds no ``final_norm`` and emits raw residual-stream states.
     """
-    B, S = input_ids.shape
+    B, S = input_ids.shape[:2]
     if n_valid is None:
         n_valid = jnp.asarray(S, jnp.int32)
 
@@ -456,7 +460,10 @@ def forward_chunk(
     if cos.ndim == 2:
         cos, sin = cos[None], sin[None]
 
-    x = embed_lookup(params, input_ids)  # [B, S, E]
+    if input_ids.ndim == 2:
+        x = embed_lookup(params, input_ids)  # [B, S, E]
+    else:
+        x = input_ids  # already-embedded stage input [B, S, E]
 
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
@@ -473,7 +480,8 @@ def forward_chunk(
         x = x + _mlp(layer, h, cfg)
         cache = _replace_layer(cache, li, new_bufs)
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if "final_norm" in params:
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     cache = cache._replace(length=cache.length + n_valid.astype(jnp.int32))
     return x, cache
 
