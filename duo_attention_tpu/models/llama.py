@@ -110,7 +110,10 @@ def embed_lookup(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     if "embed_q8" in params:
         rows = params["embed_q8"][input_ids].astype(jnp.float32)
         scale = params["embed_scale"][input_ids][..., None]
-        return (rows * scale).astype(params["final_norm"].dtype)
+        # dtype source must exist on a first pipeline stage too, which
+        # holds layers but no final_norm (parallel/pipeline.py)
+        dt = params["layers"][0]["input_norm"].dtype
+        return (rows * scale).astype(dt)
     return params["embed"][input_ids]
 
 
