@@ -135,6 +135,8 @@ class PipelinedEngine:
             for s in range(S)
         ]
         self._chunk_fns = {}
+        # last-stage lm_head on one position (traced index -> 1 program)
+        self._logits_fn = jax.jit(llama.logits_at)
 
     # -- compile surface ---------------------------------------------------
 
@@ -209,7 +211,7 @@ class PipelinedEngine:
                 self.bucket_for(pos + C),
             )
             pos += n_valid
-        logits = llama.logits_at(
+        logits = self._logits_fn(
             self.stage_params[-1], hidden, jnp.asarray((S - 1) % C, jnp.int32)
         ) if ret_logits else None
         return caches, logits
@@ -236,7 +238,7 @@ class PipelinedEngine:
             hidden, caches = self._run_chunk(
                 caches, token[:, None], one, bucket
             )
-            logits = llama.logits_at(
+            logits = self._logits_fn(
                 self.stage_params[-1], hidden, jnp.asarray(0, jnp.int32)
             )
             token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
