@@ -273,6 +273,12 @@ def dryrun_1m_decode(n_devices: int, ctx: int = 1 << 20) -> None:
     cache = cache._replace(length=jnp.asarray(ctx - 8, jnp.int32))
     params, cache, p_sh, c_sh = shard_inference_state(mesh, cfg, duo, params, cache)
     token = jnp.zeros((1, 1), jnp.int32)
+    # (Sharded chunked PREFILL is validated at small shapes by
+    # dryrun_step's step_pallas above and on real hardware by the TPU
+    # smoke suite; a prefill chunk against the 1M bucket is omitted HERE
+    # because interpret mode walks every grid cell of the 1M-block grid
+    # in Python — tens of minutes on the CPU mesh for zero extra
+    # sharding coverage beyond the decode step below.)
 
     @jax.jit
     def decode(params, cache, token):
