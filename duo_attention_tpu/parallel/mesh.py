@@ -90,10 +90,25 @@ def param_shardings(mesh: Mesh, cfg: ModelConfig):
         "wk": col if kv_div else rep,
         "wv": col if kv_div else rep,
         "wo": row if head_div else rep,
-        "w_gate": col,
-        "w_up": col,
-        "w_down": row,
     }
+    if cfg.num_local_experts > 0:
+        # Expert parallelism: the stacked expert axis of the MoE weights
+        # shards over ``tensor`` — with dense dispatch (llama._moe_mlp
+        # computes every expert's output and sums them weighted by the
+        # combine matrix) each device runs its expert slice for all
+        # tokens and the final sum over experts becomes one XLA-inserted
+        # psum. Router stays replicated. Falls back to replication when
+        # the expert count does not divide the axis.
+        ep = cfg.num_local_experts % tp == 0
+        exp = _ns(mesh, "tensor", None, None) if ep else rep
+        layer["moe_gate"] = rep
+        layer["experts_w_gate"] = exp
+        layer["experts_w_up"] = exp
+        layer["experts_w_down"] = exp
+    else:
+        layer["w_gate"] = col
+        layer["w_up"] = col
+        layer["w_down"] = row
     if cfg.attention_bias:
         layer["bq"] = _ns(mesh, "tensor") if head_div else rep
         layer["bk"] = _ns(mesh, "tensor") if kv_div else rep
@@ -220,6 +235,30 @@ def dryrun_step(n_devices: int) -> None:
     logits2, _ = step_pallas(params, cache2, ids)
     jax.block_until_ready(logits2)
     assert logits2.shape == (batch, cfg.vocab_size)
+
+    # Expert-parallel step: Mixtral MoE layers with the stacked expert
+    # axis sharded over ``tensor`` (dense dispatch -> the sum over
+    # experts is one psum; see param_shardings).
+    import dataclasses
+
+    moe_cfg = dataclasses.replace(
+        cfg, model_type="mixtral", num_local_experts=4,
+        num_experts_per_tok=2,
+    )
+    moe_params = llama.init_params(moe_cfg, jax.random.PRNGKey(1))
+    moe_cache = init_cache(moe_cfg, duo, batch_size=batch)
+    moe_params, moe_cache, _, _ = shard_inference_state(
+        mesh, moe_cfg, duo, moe_params, moe_cache
+    )
+
+    @jax.jit
+    def step_moe(params, cache, ids):
+        hidden, cache = llama.forward_chunk(params, moe_cfg, duo, cache, ids)
+        return llama.logits_at(params, hidden, ids.shape[1] - 1), cache
+
+    logits3, _ = step_moe(moe_params, moe_cache, ids)
+    jax.block_until_ready(logits3)
+    assert logits3.shape == (batch, moe_cfg.vocab_size)
 
     # Training step (dp × sp with Ulysses all-to-all) — if available.
     try:

@@ -133,3 +133,41 @@ def test_1m_context_sharded_q4_decode():
     # ~10 min in interpret mode; passes (verified 2026-08-17). Run with
     # `pytest -m slow tests/test_spmd.py`.
     _sharded_q4_decode_at(1048576)
+
+
+def test_expert_parallel_moe_matches_unsharded(setup):
+    """EP: Mixtral MoE layers with the stacked expert axis sharded over
+    ``tensor`` (param_shardings) produce the same logits as the
+    unsharded model — the dense-dispatch sum over experts becomes a psum
+    under GSPMD, with no model-code changes."""
+    cfg, duo, _ = setup
+    moe_cfg = dataclasses.replace(
+        cfg, model_type="mixtral", num_local_experts=4,
+        num_experts_per_tok=2,
+    )
+    params = llama.init_params(moe_cfg, jax.random.PRNGKey(7), jnp.float32)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, moe_cfg.vocab_size, (2, 40)).astype(np.int32)
+
+    ref_eng = DuoEngine(params, moe_cfg, duo, batch_size=2,
+                        dtype=jnp.float32, attn_impl="ref")
+    want, _ = ref_eng.generate(prompt, max_new_tokens=4)
+
+    mesh = build_mesh(8, data=2)  # tensor=4 divides the 4 experts
+    cache = init_cache(moe_cfg, duo, batch_size=2, dtype=jnp.float32)
+    sh_params, sh_cache, p_sh, _ = shard_inference_state(
+        mesh, moe_cfg, duo, params, cache
+    )
+    # the expert axis really is sharded
+    spec = p_sh["layers"][0]["experts_w_gate"].spec
+    assert spec[0] == "tensor", spec
+    eng = DuoEngine(sh_params, moe_cfg, duo, batch_size=2,
+                    dtype=jnp.float32, attn_impl="ref", mesh=mesh)
+    got, _ = eng.generate(
+        jax.device_put(prompt, NamedSharding(mesh, P("data", None))),
+        max_new_tokens=4,
+        cache=sh_cache,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0
+    )
