@@ -260,6 +260,20 @@ def dryrun_step(n_devices: int) -> None:
     jax.block_until_ready(logits3)
     assert logits3.shape == (batch, moe_cfg.vocab_size)
 
+    # Pipeline-parallel step: 2 balanced layer stages on explicit devices
+    # (parallel/pipeline.py — the reference's eval-time PP counterpart).
+    from .pipeline import PipelinedEngine
+
+    pp_params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    pipe = PipelinedEngine(
+        pp_params, cfg, duo, devices=jax.devices()[:2], batch_size=1,
+        dtype=jnp.bfloat16,
+    )
+    pp_tokens, _ = pipe.generate(
+        np.zeros((1, duo.prefill_chunk_size), np.int32), max_new_tokens=2
+    )
+    assert pp_tokens.shape == (1, 2)
+
     # Training step (dp × sp with Ulysses all-to-all) — if available.
     try:
         from ..train.trainer import dryrun_train_step
