@@ -112,8 +112,27 @@ class DuoEngine:
 
     def new_cache(self):
         if self.kv_quant == "int4":
-            return init_cache_q4(self.cfg, self.duo, self.batch_size, self.dtype)
-        return init_cache(self.cfg, self.duo, self.batch_size, self.dtype)
+            cache = init_cache_q4(
+                self.cfg, self.duo, self.batch_size, self.dtype
+            )
+        else:
+            cache = init_cache(self.cfg, self.duo, self.batch_size, self.dtype)
+        if self.mesh is not None:
+            # head-shard the KV buffers over the tensor axis so callers
+            # that let the engine allocate (generate(cache=None), evals)
+            # get the same placement shard_inference_state would give —
+            # an unsharded (replicated) cache would silently cost full
+            # buffers per device.
+            from .parallel.mesh import cache_shardings
+
+            cache = jax.device_put(
+                cache,
+                cache_shardings(
+                    self.mesh, self.cfg, self.duo,
+                    quantized=self.kv_quant == "int4",
+                ),
+            )
+        return cache
 
     def bucket_for(self, length: int) -> int:
         return min(_next_bucket(length), self.duo.max_cache_size)

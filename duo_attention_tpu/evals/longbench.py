@@ -238,6 +238,9 @@ def main():
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--e-split", action="store_true")
     p.add_argument("--score-only", action="store_true")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel over N devices (reference: "
+                   "pred.py:237,243 enable_tp)")
     args = p.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -259,7 +262,17 @@ def main():
             prefill_chunk_size=args.prefill_chunk,
         )
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
-        engine = DuoEngine(params, cfg, duo)
+        if args.tp:
+            from ..cache import init_cache
+            from ..parallel.mesh import build_mesh, shard_inference_state
+
+            mesh = build_mesh(args.tp, data=1)
+            params, _, _, _ = shard_inference_state(
+                mesh, cfg, duo, params, init_cache(cfg, duo, 1)
+            )
+            engine = DuoEngine(params, cfg, duo, mesh=mesh)
+        else:
+            engine = DuoEngine(params, cfg, duo)
         tokenizer = get_tokenizer(args.tokenizer)
         for task in args.tasks:
             data = load_task_data(task, args.data_dir, args.e_split)

@@ -243,6 +243,14 @@ def main():
     p.add_argument("--output-dir", default="niah_results")
     p.add_argument("--simulation-tokens", type=int, default=0)
     p.add_argument("--visualize", action="store_true")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel over N devices (head-sharded KV; "
+                   "reference: to_device enable_tp, "
+                   "needle_in_haystack.py:213-214)")
+    p.add_argument("--pp", type=int, default=0,
+                   help="pipeline stages over N devices (reference: "
+                   "--enable_pp, utils.py:228-283); simulation mode "
+                   "requires the single-device engine")
     args = p.parse_args()
 
     cfg = PRESETS[args.model]
@@ -261,7 +269,25 @@ def main():
         prefill_chunk_size=args.prefill_chunk,
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
-    engine = DuoEngine(params, cfg, duo)
+    if args.tp:
+        from ..parallel.mesh import build_mesh, shard_params
+
+        mesh = build_mesh(args.tp, data=1)
+        params = shard_params(mesh, cfg, params)
+        engine = DuoEngine(params, cfg, duo, mesh=mesh)
+    elif args.pp:
+        import jax as _jax
+
+        from ..parallel.pipeline import PipelinedEngine
+
+        assert args.simulation_tokens == 0, (
+            "--pp supports generate-mode only (no per-token simulation)"
+        )
+        engine = PipelinedEngine(
+            params, cfg, duo, devices=_jax.devices()[: args.pp]
+        )
+    else:
+        engine = DuoEngine(params, cfg, duo)
     tokenizer = get_tokenizer(args.tokenizer)
     config = NIAHConfig(
         context_lengths=args.ctx,

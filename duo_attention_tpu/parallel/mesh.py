@@ -163,6 +163,14 @@ def cache_shardings(mesh: Mesh, cfg: ModelConfig, duo: DuoConfig,
     )
 
 
+def shard_params(mesh, cfg, params):
+    """device_put params with the TP shardings (no cache involved)."""
+    p_sh = param_shardings(mesh, cfg)
+    if "lm_head" not in params:
+        p_sh = {k: v for k, v in p_sh.items() if k != "lm_head"}
+    return jax.device_put(params, p_sh)
+
+
 def shard_inference_state(mesh, cfg, duo, params, cache):
     from ..cache import DuoCacheQ4
 
@@ -172,7 +180,7 @@ def shard_inference_state(mesh, cfg, duo, params, cache):
     c_sh = cache_shardings(
         mesh, cfg, duo, quantized=isinstance(cache, DuoCacheQ4)
     )
-    params = jax.device_put(params, p_sh)
+    params = shard_params(mesh, cfg, params)
     cache = jax.device_put(cache, c_sh)
     return params, cache, p_sh, c_sh
 
