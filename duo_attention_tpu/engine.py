@@ -130,6 +130,7 @@ class DuoEngine:
                 cache_shardings(
                     self.mesh, self.cfg, self.duo,
                     quantized=self.kv_quant == "int4",
+                    batch_size=self.batch_size,
                 ),
             )
         return cache

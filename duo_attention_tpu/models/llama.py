@@ -468,6 +468,32 @@ def forward_chunk(
     else:
         x = input_ids  # already-embedded stage input [B, S, E]
 
+    if mesh is not None:
+        # GSPMD cannot partition the Pallas GEMM custom call; dot_general
+        # it CAN (inserting TP psums). Trace-time switch — see
+        # ops.quant.xla_matmul_only.
+        from ..ops.quant import xla_matmul_only
+
+        ctx = xla_matmul_only()
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        x, cache = _layer_stack(
+            params, cfg, duo, cache, x, positions, cos, sin, attn_impl,
+            full_bucket, mesh,
+        )
+
+    if "final_norm" in params:
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    cache = cache._replace(length=cache.length + n_valid.astype(jnp.int32))
+    return x, cache
+
+
+def _layer_stack(params, cfg, duo, cache, x, positions, cos, sin, attn_impl,
+                 full_bucket, mesh):
+    B, S = x.shape[:2]
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(layer, h, cfg)
@@ -482,10 +508,6 @@ def forward_chunk(
         h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
         x = x + _mlp(layer, h, cfg)
         cache = _replace_layer(cache, li, new_bufs)
-
-    if "final_norm" in params:
-        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    cache = cache._replace(length=cache.length + n_valid.astype(jnp.int32))
     return x, cache
 
 

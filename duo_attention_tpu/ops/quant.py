@@ -176,6 +176,29 @@ def int8_matmul(xq: jnp.ndarray, x_scale, wq: jnp.ndarray, w_scale,
     return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
 
 
+_XLA_MATMUL_ONLY = False
+
+
+class xla_matmul_only:
+    """Trace-time switch: route W8A8 linears through plain dot_general
+    instead of the Pallas GEMM. Required under GSPMD sharding — XLA can
+    partition dot_general (inserting the psums TP needs) but cannot
+    partition a Pallas custom call; llama.forward_chunk enters this
+    context when a mesh is passed."""
+
+    def __init__(self, enable: bool = True):
+        self.enable = enable
+
+    def __enter__(self):
+        global _XLA_MATMUL_ONLY
+        self.prev = _XLA_MATMUL_ONLY
+        _XLA_MATMUL_ONLY = self.enable
+
+    def __exit__(self, *exc):
+        global _XLA_MATMUL_ONLY
+        _XLA_MATMUL_ONLY = self.prev
+
+
 def w8a8_linear(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Full dynamic-activation W8A8 linear.
@@ -190,7 +213,8 @@ def w8a8_linear(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
     for d in lead:
         M *= d
     K, N = wq.shape
-    if M >= 256 and M % 32 == 0 and K % 128 == 0 and N % 128 == 0:
+    if (not _XLA_MATMUL_ONLY and M >= 256 and M % 32 == 0
+            and K % 128 == 0 and N % 128 == 0):
         from .gemm import w8a8_matmul
 
         out = w8a8_matmul(

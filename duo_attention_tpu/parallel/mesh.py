@@ -123,7 +123,7 @@ def param_shardings(mesh: Mesh, cfg: ModelConfig):
 
 
 def cache_shardings(mesh: Mesh, cfg: ModelConfig, duo: DuoConfig,
-                    quantized: bool = False):
+                    quantized: bool = False, batch_size: Optional[int] = None):
     """Sharding pytree matching DuoCache / DuoCacheQ4 structure.
 
     KV buffers are sharded over their HEAD axis — exactly the layout the
@@ -134,11 +134,16 @@ def cache_shardings(mesh: Mesh, cfg: ModelConfig, duo: DuoConfig,
     from ..cache import DuoCache, DuoCacheQ4
 
     tp = mesh.shape["tensor"]
+    # batch axis shards over "data" only when it divides (a batch-1 cache
+    # on a data>1 mesh stays batch-replicated rather than failing)
+    b_ax = "data" if (
+        batch_size is None or batch_size % mesh.shape["data"] == 0
+    ) else None
 
     def head_spec(h, extra_dims):
         if h > 0 and h % tp == 0:
-            return _ns(mesh, "data", "tensor", *([None] * extra_dims))
-        return _ns(mesh, "data", None, *([None] * extra_dims))
+            return _ns(mesh, b_ax, "tensor", *([None] * extra_dims))
+        return _ns(mesh, b_ax, None, *([None] * extra_dims))
 
     full = tuple(head_spec(hf, 2) for hf in duo.num_full_kv_heads)
     stream = tuple(
@@ -163,12 +168,70 @@ def cache_shardings(mesh: Mesh, cfg: ModelConfig, duo: DuoConfig,
     )
 
 
+def shardings_like(mesh: Mesh, cfg: ModelConfig, params):
+    """Key-driven sharding pytree for an ACTUAL param pytree.
+
+    Unlike param_shardings (which mirrors llama.init_params' bf16
+    structure), this walks the given params, so it also covers the W8A8
+    serving format (``*_q8`` int8 weights + per-out-channel ``*_scale``
+    vectors, quantized embed/lm_head — ops/quant.py). Rules: column-split
+    weights shard their out dim and scale over ``tensor``; row-split
+    weights shard their in dim with a replicated scale (GSPMD inserts the
+    psum over the contraction, and the per-token activation-scale max
+    becomes a psum-max — numerics identical to unsharded by GSPMD's
+    semantics-preservation). Any unknown key stays replicated."""
+    tp = mesh.shape["tensor"]
+    rep = _ns(mesh)
+    col2, row2 = _ns(mesh, None, "tensor"), _ns(mesh, "tensor", None)
+    vec = _ns(mesh, "tensor")
+    head_div = cfg.num_heads % tp == 0
+    kv_div = cfg.num_kv_heads % tp == 0
+    i_div = cfg.intermediate_size % tp == 0
+    v_div = cfg.vocab_size % tp == 0
+    # base name -> (weight spec, scale spec)
+    rules = {
+        "wq": (col2, vec) if head_div else (rep, rep),
+        "wk": (col2, vec) if kv_div else (rep, rep),
+        "wv": (col2, vec) if kv_div else (rep, rep),
+        "w_gate": (col2, vec) if i_div else (rep, rep),
+        "w_up": (col2, vec) if i_div else (rep, rep),
+        "wo": (row2, rep) if head_div else (rep, rep),
+        "w_down": (row2, rep) if i_div else (rep, rep),
+        "lm_head": (col2, vec) if v_div else (rep, rep),
+        "embed": (row2, vec) if v_div else (rep, rep),  # vocab-sharded
+    }
+
+    def spec_for(key, ndim):
+        base = key[:-3] if key.endswith("_q8") else (
+            key[:-6] if key.endswith("_scale") else key
+        )
+        if base in rules:
+            w, s = rules[base]
+            return s if key.endswith("_scale") else w
+        if key.startswith("experts_w") and cfg.num_local_experts % tp == 0:
+            return _ns(mesh, "tensor", *([None] * (ndim - 1)))
+        if key in ("bq",):
+            return vec if head_div else rep
+        if key in ("bk", "bv"):
+            return vec if kv_div else rep
+        return rep
+
+    def map_tree(tree):
+        if isinstance(tree, dict):
+            return {k: (map_tree(v) if isinstance(v, (dict, tuple))
+                        else spec_for(k, getattr(v, "ndim", 0)))
+                    for k, v in tree.items()}
+        if isinstance(tree, tuple):
+            return tuple(map_tree(v) for v in tree)
+        return rep
+
+    return map_tree(params)
+
+
 def shard_params(mesh, cfg, params):
-    """device_put params with the TP shardings (no cache involved)."""
-    p_sh = param_shardings(mesh, cfg)
-    if "lm_head" not in params:
-        p_sh = {k: v for k, v in p_sh.items() if k != "lm_head"}
-    return jax.device_put(params, p_sh)
+    """device_put params with TP shardings keyed off the actual pytree
+    (bf16 or W8A8 formats alike)."""
+    return jax.device_put(params, shardings_like(mesh, cfg, params))
 
 
 def shard_inference_state(mesh, cfg, duo, params, cache):

@@ -171,3 +171,29 @@ def test_expert_parallel_moe_matches_unsharded(setup):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=0
     )
+
+
+def test_w8a8_tp_matches_unsharded(setup):
+    """TP of the QUANTIZED serving format: *_q8 weights column/row-split
+    with their per-channel scales (mesh.shardings_like), int4 KV, int8
+    embeds/lm_head. Under a mesh the W8A8 linears route through
+    dot_general (quant.xla_matmul_only) so GSPMD can partition them;
+    results must be identical to the unsharded engine."""
+    from duo_attention_tpu.ops.quant import init_params_w8a8
+    from duo_attention_tpu.parallel.mesh import shard_params
+
+    cfg, duo, _ = setup
+    qp = init_params_w8a8(cfg, jax.random.PRNGKey(5), quantize_embeds=True)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, cfg.vocab_size, (1, 40)).astype(np.int32)
+
+    ref = DuoEngine(qp, cfg, duo, batch_size=1, dtype=jnp.bfloat16,
+                    kv_quant="int4")
+    want, _ = ref.generate(ids, max_new_tokens=5)
+
+    mesh = build_mesh(4, data=2)  # batch 1: cache stays batch-replicated
+    sp = shard_params(mesh, cfg, qp)
+    eng = DuoEngine(sp, cfg, duo, batch_size=1, dtype=jnp.bfloat16,
+                    kv_quant="int4", mesh=mesh, attn_impl="ref")
+    got, _ = eng.generate(ids, max_new_tokens=5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
