@@ -237,13 +237,13 @@ def shard_params(mesh, cfg, params):
 def shard_inference_state(mesh, cfg, duo, params, cache):
     from ..cache import DuoCacheQ4
 
-    p_sh = param_shardings(mesh, cfg)
-    if "lm_head" not in params:
-        p_sh = {k: v for k, v in p_sh.items() if k != "lm_head"}
+    p_sh = shardings_like(mesh, cfg, params)
+    batch = jax.tree_util.tree_leaves(cache)[0].shape[0]
     c_sh = cache_shardings(
-        mesh, cfg, duo, quantized=isinstance(cache, DuoCacheQ4)
+        mesh, cfg, duo, quantized=isinstance(cache, DuoCacheQ4),
+        batch_size=batch,
     )
-    params = shard_params(mesh, cfg, params)
+    params = jax.device_put(params, p_sh)
     cache = jax.device_put(cache, c_sh)
     return params, cache, p_sh, c_sh
 
@@ -392,7 +392,12 @@ def dryrun_1m_decode(n_devices: int, ctx: int = 1 << 20) -> None:
     )
     mesh_devices = np.array(jax.devices()[:tensor]).reshape(1, tensor)
     mesh = Mesh(mesh_devices, axis_names=("data", "tensor"))
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    # the REAL 1M serving format: W8A8 int8 weights + int8 embeddings,
+    # TP-sharded via shardings_like (int4 KV below)
+    from ..ops.quant import init_params_w8a8
+
+    params = init_params_w8a8(cfg, jax.random.PRNGKey(0),
+                              quantize_embeds=True)
     cache = init_cache_q4(cfg, duo, batch_size=1)
     cache = cache._replace(length=jnp.asarray(ctx - 8, jnp.int32))
     params, cache, p_sh, c_sh = shard_inference_state(mesh, cfg, duo, params, cache)
