@@ -99,7 +99,7 @@ def _row_cache_to_batch(batch_cache, row_cache, slot):
 
 def _batched_decode_step(
     params, cache, tokens, active, samp=None, *, cfg, duo, attn_impl,
-    full_bucket,
+    full_bucket, mesh=None,
 ):
     """One decode step for every slot; inactive slots don't advance.
 
@@ -110,7 +110,7 @@ def _batched_decode_step(
     hidden, cache = llama.forward_chunk(
         params, cfg, duo, cache, tokens[:, None],
         n_valid=active.astype(jnp.int32),
-        attn_impl=attn_impl, full_bucket=full_bucket,
+        attn_impl=attn_impl, full_bucket=full_bucket, mesh=mesh,
     )
     logits = llama.logits_at(params, hidden, 0)  # [B, vocab]
     if samp is None:
@@ -136,9 +136,11 @@ class ServingEngine:
         attn_impl: str = "auto",
         kv_quant: str = "none",
         decode_burst: int = 1,
+        mesh=None,
     ):
         from .engine import DuoEngine, _next_bucket
 
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.duo = duo
@@ -152,10 +154,22 @@ class ServingEngine:
         # single-slot engine reused for admission prefill
         self._prefill_engine = DuoEngine(
             params, cfg, duo, batch_size=1, dtype=dtype,
-            attn_impl=self.attn_impl, kv_quant=kv_quant,
+            attn_impl=self.attn_impl, kv_quant=kv_quant, mesh=mesh,
         )
         init = init_cache_q4 if kv_quant == "int4" else init_cache
         self.cache = init(cfg, duo, max_batch_size, dtype, decode_only=True)
+        if mesh is not None:
+            # head-shard the pool cache over the tensor axis (multi-chip
+            # continuous batching: same placement the shard_map'd kernels
+            # consume; batch stays on "data" when it divides)
+            from .parallel.mesh import cache_shardings
+
+            self.cache = jax.device_put(
+                self.cache,
+                cache_shardings(mesh, cfg, duo,
+                                quantized=kv_quant == "int4",
+                                batch_size=max_batch_size),
+            )
         self.cache = self.cache._replace(
             length=jnp.zeros((max_batch_size,), jnp.int32)
         )
@@ -285,6 +299,7 @@ class ServingEngine:
                 duo=self.duo,
                 attn_impl=self.attn_impl,
                 full_bucket=bucket,
+                mesh=self.mesh,
             )
 
             def burst(params, cache, tokens, active):

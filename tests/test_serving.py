@@ -174,3 +174,32 @@ def test_serving_int4_matches_isolated(setup):
                         attn_impl="ref", kv_quant="int4")
         toks, _ = eng.generate(p[None, :], max_new_tokens=5)
         assert by_rid[i].generated == list(map(int, toks[0])), f"req {i}"
+
+
+def test_serving_tp_matches_isolated(setup):
+    """Multi-chip continuous batching: pool cache head-sharded over the
+    tensor axis (divisible layers; hf=1,3 fall back to replication),
+    shard_map-free ref path under GSPMD — tokens must match isolated
+    single-device generation exactly."""
+    from duo_attention_tpu.parallel.mesh import build_mesh, shard_params
+
+    params, cfg, duo = setup
+    mesh = build_mesh(2, data=1)
+    sharded = shard_params(mesh, cfg, params)
+    rng = np.random.default_rng(7)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, (int(n),)).astype(np.int32)
+        for n in (17, 50, 33)
+    ]
+    serve = ServingEngine(
+        sharded, cfg, duo, max_batch_size=2, dtype=jnp.float32,
+        attn_impl="ref", mesh=mesh,
+    )
+    for i, p in enumerate(prompts):
+        serve.submit(Request(rid=i, prompt_ids=p, max_new_tokens=6))
+    finished = serve.run()
+    assert len(finished) == len(prompts)
+    by_rid = {r.rid: r for r in finished}
+    for i, p in enumerate(prompts):
+        expect = isolated_tokens(params, cfg, duo, p, 6)
+        assert by_rid[i].generated == expect, f"request {i} diverged"
