@@ -23,6 +23,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _require_device(timeout_s: int = 150):
+    """Fail fast + loud if the TPU runtime cannot grant a device.
+
+    The remote (tunneled) PJRT client blocks INSIDE client init while the
+    pool has no chip to grant — an infinite hang that would otherwise eat
+    the driver's whole time budget and surface as an opaque timeout.
+    Probe device init on a watchdog thread and exit with a diagnostic."""
+    import threading
+
+    got = []
+    t = threading.Thread(target=lambda: got.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not got:
+        print(
+            f"[bench] FATAL: no device granted after {timeout_s}s — the "
+            "TPU runtime/tunnel is unreachable or the pool has no free "
+            "chip (PJRT client init blocks in make_c_api_client). This is "
+            "an environment failure, not a benchmark failure.",
+            file=sys.stderr, flush=True,
+        )
+        sys.exit(3)
+    print(f"[bench] device: {got[0]}", file=sys.stderr, flush=True)
+
+
 def model_cfg(num_layers):
     from duo_attention_tpu.config import LLAMA3_8B_1048K
     import dataclasses
@@ -114,6 +140,7 @@ def main():
 
     from duo_attention_tpu.ops.quant import init_params_w8a8_random
 
+    _require_device()
     enable_compilation_cache()
     proxy = "--proxy" in sys.argv
     ctx_len = 131072
