@@ -14,9 +14,19 @@ residual-stream states) hop devices explicitly between stages. The duo
 split is preserved per layer: every stage holds the slice of
 ``num_full_kv_heads`` for its own layers, so heterogeneous head splits
 across stage boundaries need no padding (compare SURVEY.md §7.3 "per-layer
-heterogeneous head splits"). For *throughput*-motivated scale-out, use the
-GSPMD tensor axis (parallel/mesh.py, parallel/spmd.py) — the recommended
-path on TPU, where ICI makes TP collectives cheap; this module exists for
+heterogeneous head splits").
+
+Chunked PREFILL actually pipelines across chunks without any extra
+machinery: dispatch is asynchronous and stage s's step for chunk i
+depends only on (stage s cache after chunk i-1, stage s-1 hidden for
+chunk i), so when the host loop dispatches chunk i+1's stage-0 step
+right after chunk i's stage-1 step, the runtime overlaps them on their
+different devices — classic 1F pipelining with the bubble only at the
+fill/drain edges, better than accelerate's strictly sequential execution.
+DECODE is inherently sequential per token (the next token needs the last
+stage's logits). For *throughput*-motivated scale-out, use the GSPMD
+tensor axis (parallel/mesh.py, parallel/spmd.py) — the recommended path
+on TPU, where ICI makes TP collectives cheap; this module exists for
 capability parity with the reference's eval-time PP.
 """
 
