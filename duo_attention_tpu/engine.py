@@ -247,16 +247,7 @@ class DuoEngine:
         pays full ``max_new_tokens`` everywhere,
         eval/needle/needle_in_haystack.py:302-314).
         Returns (tokens [B, max_new_tokens] host array, cache)."""
-        burst = self.decode_burst
-        if burst <= 0 or max_new_tokens <= 0:
-            plan = [max(max_new_tokens, 0)]
-        else:
-            plan = [burst] * (max_new_tokens // burst)
-            rem = max_new_tokens % burst
-            while rem:  # powers of two: ≤ log2(burst) extra programs
-                p = 1 << (rem.bit_length() - 1)
-                plan.append(p)
-                rem -= p
+        plan = _burst_plan(self.decode_burst, max_new_tokens)
         bucket = self.bucket_for(length + sum(plan))
         sample = sample_args is not None
         if sample:
@@ -294,6 +285,22 @@ class DuoEngine:
         fn = self._decode_fn(self.bucket_for(length + 1), 1)
         tokens, cache = fn(self.params, cache, token)
         return tokens[:, 0], cache
+
+
+def _burst_plan(burst: int, n: int) -> list:
+    """Decompose ``n`` decode steps into scan lengths: full bursts plus a
+    power-of-two remainder decomposition. Exact total (cache.length stays
+    truthful); distinct lengths ≤ 1 + log2(burst) so the compiled-program
+    set per bucket is bounded regardless of what callers request."""
+    if burst <= 0 or n <= 0:
+        return [max(n, 0)]
+    plan = [burst] * (n // burst)
+    rem = n % burst
+    while rem:
+        p = 1 << (rem.bit_length() - 1)
+        plan.append(p)
+        rem -= p
+    return plan
 
 
 def _chunk_step(params, cache, chunk, n_valid, *, cfg, duo, attn_impl,

@@ -297,3 +297,23 @@ def test_engine_burst_early_stop(tiny):
     assert (tokens[0, first + 1:] == stop).all()
     # decode stopped after the burst containing the stop token, not 48
     assert int(cache.length) < 20 + 48
+
+
+def test_burst_plan_properties():
+    """_burst_plan invariants for arbitrary (burst, n): exact total,
+    entries bounded by burst, distinct-length count ≤ 1 + log2(burst)
+    (the compile-surface bound)."""
+    from hypothesis import given, settings, strategies as st
+
+    from duo_attention_tpu.engine import _burst_plan
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(1, 1024), st.integers(0, 5000))
+    def check(burst, n):
+        plan = _burst_plan(burst, n)
+        assert sum(plan) == max(n, 0)
+        if n > 0:
+            assert all(0 < p <= burst for p in plan)
+            assert len(set(plan)) <= 1 + burst.bit_length()
+
+    check()
