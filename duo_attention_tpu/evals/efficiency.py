@@ -49,9 +49,21 @@ def build_engine(args):
         max_cache_size=args.ctx_len,
         prefill_chunk_size=args.prefill_chunk,
     )
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    if getattr(args, "w8a8", False):
+        # value-independent perf: random int8 weights in one dispatch
+        # (bench.py does the same; real weights via models.convert +
+        # ops.quant.quantize_params_w8a8)
+        from ..ops.quant import init_params_w8a8_random
+
+        params = init_params_w8a8_random(cfg, jax.random.PRNGKey(0))
+    else:
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
     batch = getattr(args, "batch_size", 1)
-    return DuoEngine(params, cfg, duo, batch_size=batch), cfg, duo
+    kv_quant = getattr(args, "kv_quant", "none")
+    return (
+        DuoEngine(params, cfg, duo, batch_size=batch, kv_quant=kv_quant),
+        cfg, duo,
+    )
 
 
 def bench_prefill(engine, ctx_len, runs=3):
@@ -175,6 +187,11 @@ def main():
     p.add_argument("--prefill-chunk", type=int, default=8192)
     p.add_argument("--decode-steps", type=int, default=64)
     p.add_argument("--skip-prefill", action="store_true")
+    p.add_argument("--w8a8", action="store_true",
+                   help="INT8 weight/activation linears + int8 embeds "
+                   "(the reference demo's compute precision)")
+    p.add_argument("--kv-quant", choices=["none", "int4"], default="none",
+                   help="INT4 token-paired KV cache (W8A8KV4 with --w8a8)")
     p.add_argument("--serving-batch", type=int, default=0,
                    help="also measure serving-pool aggregate decode at this batch")
     p.add_argument("--output", default="benchmark_result.txt")
