@@ -241,6 +241,12 @@ def main():
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel over N devices (reference: "
                    "pred.py:237,243 enable_tp)")
+    p.add_argument("--pp", type=int, default=0,
+                   help="pipeline stages over N devices (reference: "
+                   "--enable_pp); requires --simulation-tokens 0")
+    p.add_argument("--simulation-tokens", type=int, default=50,
+                   help="feed the last N prompt tokens through the "
+                   "decode path (reference protocol, pred.py:125-142)")
     args = p.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -263,14 +269,23 @@ def main():
         )
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
         if args.tp:
-            from ..cache import init_cache
-            from ..parallel.mesh import build_mesh, shard_inference_state
+            from ..parallel.mesh import build_mesh, shard_params
 
             mesh = build_mesh(args.tp, data=1)
-            params, _, _, _ = shard_inference_state(
-                mesh, cfg, duo, params, init_cache(cfg, duo, 1)
-            )
+            params = shard_params(mesh, cfg, params)
             engine = DuoEngine(params, cfg, duo, mesh=mesh)
+        elif args.pp:
+            import jax as _jax
+
+            from ..parallel.pipeline import PipelinedEngine
+
+            assert args.simulation_tokens == 0, (
+                "--pp supports generate-mode only (no per-token "
+                "simulation); pass --simulation-tokens 0"
+            )
+            engine = PipelinedEngine(
+                params, cfg, duo, devices=_jax.devices()[: args.pp]
+            )
         else:
             engine = DuoEngine(params, cfg, duo)
         tokenizer = get_tokenizer(args.tokenizer)
@@ -279,6 +294,7 @@ def main():
             out_path = os.path.join(args.out_dir, f"{task}.jsonl")
             predict_task(
                 engine, tokenizer, task, data, args.max_prompt_len, out_path,
+                simulation_tokens=args.simulation_tokens,
                 max_samples=args.max_samples,
             )
     for task in args.tasks:
