@@ -538,6 +538,7 @@ def forward_two_way(
     input_ids: jnp.ndarray,
     seq_axis: Optional[str] = None,
     block_k: int = 512,
+    layer_hook=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Teacher/student two-stream forward for gate identification.
 
@@ -552,6 +553,11 @@ def forward_two_way(
     shard and attention runs under Ulysses all-to-all resharding
     (parallel/ulysses.py), mirroring the reference's UlyssesAttention wrap
     (duo_attn/patch/llama.py:492-501).
+
+    ``layer_hook(layer, (ht, hs)) -> (layer, (ht, hs))`` is called at the
+    top of each block; FSDP-sharded training (parallel/fsdp.py, the
+    FSDP2 counterpart of duo_attn/train.py:60-69) uses it to all-gather
+    one layer's sharded weights at its use site.
 
     Returns (teacher_hidden, student_hidden), both post-final-norm
     [B, S_local, E].
@@ -588,6 +594,8 @@ def forward_two_way(
     hs = x  # student
 
     for li, layer in enumerate(params["layers"]):
+        if layer_hook is not None:
+            layer, (ht, hs) = layer_hook(layer, (ht, hs))
         alpha = jnp.clip(gates[li], 0.0, 1.0).astype(jnp.float32)
         # per-query-head mix weights [1, 1, Hq, 1]
         alpha_q = jnp.repeat(alpha, G).reshape(1, 1, cfg.num_heads, 1)

@@ -8,9 +8,12 @@ checkpoints with resume, and the reference artifact layout
 
 Parallelism: one jitted step, optionally shard_mapped over a
 ``(data, seq)`` mesh — batch over ``data``, sequence over ``seq`` with
-Ulysses all-to-all inside the model (replacing torchrun + NCCL + FSDP2,
-train.py:51-69,297-312). Parameters are replicated: only gates train, so
-FSDP-style parameter sharding buys nothing at 7-8B scale on a TPU slice.
+Ulysses all-to-all inside the model (replacing torchrun + NCCL,
+train.py:51-69,297-312). With ``fsdp=True`` the frozen teacher/student
+params are additionally sharded over the flattened mesh (parallel/fsdp.py,
+the FSDP2 counterpart of duo_attn/train.py:60-69) and each layer is
+all-gathered at its use site — a replicated bf16 7-8B model (~16 GB)
+cannot fit one 16 GB chip even though only the gates train.
 """
 
 from __future__ import annotations
@@ -54,6 +57,8 @@ class GateTrainConfig:
     # mesh: (data, seq); (1, 1) = single device
     dp: int = 1
     sp: int = 1
+    # shard the frozen params over the flattened mesh (parallel/fsdp.py)
+    fsdp: bool = False
 
 
 def lr_schedule(cfg: GateTrainConfig):
@@ -93,12 +98,25 @@ def make_loss_fn(mcfg: ModelConfig, tcfg: GateTrainConfig, seq_axis=None, axes=(
 
 
 def make_train_step(mcfg: ModelConfig, tcfg: GateTrainConfig, optimizer,
-                    mesh: Optional[Mesh] = None):
-    """Returns jitted (gates, opt_state, params, ids, labels) -> updated."""
+                    mesh: Optional[Mesh] = None, params=None):
+    """Returns jitted (gates, opt_state, params, ids, labels) -> updated.
+
+    ``params`` is only needed for ``tcfg.fsdp`` (to derive per-leaf
+    PartitionSpecs from the shapes); pass the SAME tree that will be fed
+    to the returned step (already sharded via fsdp.shard_params)."""
     use_mesh = mesh is not None and (tcfg.dp > 1 or tcfg.sp > 1)
 
     if use_mesh:
         axes = ("data", "seq")
+        if tcfg.fsdp:
+            from ..parallel.fsdp import make_gather_hook, param_specs
+
+            assert params is not None, "fsdp=True needs params for specs"
+            pspecs = param_specs(params, axes, tcfg.dp * tcfg.sp)
+            layer_hook = make_gather_hook(pspecs["layers"][0], axes)
+        else:
+            pspecs = P()
+            layer_hook = None
 
         def grads_fn(gates, params, ids, labels):
             # distill term only — it needs the cross-shard psum; the L1
@@ -107,6 +125,7 @@ def make_train_step(mcfg: ModelConfig, tcfg: GateTrainConfig, optimizer,
                 teacher, student = llama.forward_two_way(
                     params, g, mcfg, tcfg.sink_size, tcfg.recent_size, ids,
                     seq_axis="seq", block_k=tcfg.block_k,
+                    layer_hook=layer_hook,
                 )
                 mask = labels != IGNORE_INDEX
                 return distill_loss(teacher, student, mask, axis_names=axes)
@@ -118,7 +137,7 @@ def make_train_step(mcfg: ModelConfig, tcfg: GateTrainConfig, optimizer,
         sharded = shard_map(
             grads_fn,
             mesh=mesh,
-            in_specs=(P(), P(), P("data", "seq"), P("data", "seq")),
+            in_specs=(P(), pspecs, P("data", "seq"), P("data", "seq")),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -157,6 +176,10 @@ class GateTrainer:
         tcfg: GateTrainConfig,
         mesh: Optional[Mesh] = None,
     ):
+        if mesh is not None and tcfg.fsdp and (tcfg.dp > 1 or tcfg.sp > 1):
+            from ..parallel.fsdp import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.mcfg = mcfg
         self.tcfg = tcfg
@@ -167,7 +190,8 @@ class GateTrainer:
         self.optimizer = optax.adamw(learning_rate=lr_schedule(tcfg))
         self.opt_state = self.optimizer.init(self.gates)
         self.step_idx = 0
-        self._step_fn = make_train_step(mcfg, tcfg, self.optimizer, mesh)
+        self._step_fn = make_train_step(mcfg, tcfg, self.optimizer, mesh,
+                                        params=params)
         os.makedirs(tcfg.output_dir, exist_ok=True)
 
     # -- checkpointing (reference train.py:202-236, 366-386) ---------------
@@ -342,6 +366,8 @@ def main():
     p.add_argument("--num-passkeys", type=int, default=10)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard the frozen params over the dpxsp mesh")
     p.add_argument("--save-steps", type=int, default=50)
     p.add_argument("--output-dir", default="attn_patterns/run")
     p.add_argument("--tokenizer", default="byte")
@@ -366,6 +392,7 @@ def main():
         output_dir=args.output_dir,
         dp=args.dp,
         sp=args.sp,
+        fsdp=args.fsdp,
         block_k=args.block_k,
     )
     mesh = build_mesh_for(tcfg)
