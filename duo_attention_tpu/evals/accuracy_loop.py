@@ -59,15 +59,24 @@ from .metrics import word_overlap_score
 
 
 def build_engine(params, cfg, binary_heads, sink, recent, max_cache,
-                 chunk, dtype=jnp.float32):
+                 chunk, dtype=jnp.float32, w8a8=False, kv_quant="none"):
     """Reorder weights for a binary pattern and build the serving engine —
-    the same load-path a user of a real checkpoint goes through."""
+    the same load-path a user of a real checkpoint goes through. With
+    ``w8a8``/``kv_quant`` the engine is the FLAGSHIP quantized stack
+    (INT8 weights/activations + INT4 KV, the reference demo path
+    demo/run_duo_w8a8kv4.py:83-206), quantized after reordering exactly
+    like a real deployment."""
     reordered, num_full = reorder_params(params, cfg, binary_heads)
+    if w8a8:
+        from ..ops.quant import quantize_params_w8a8
+
+        reordered = quantize_params_w8a8(reordered)
     duo = DuoConfig(
         sink_size=sink, recent_size=recent, num_full_kv_heads=num_full,
         max_cache_size=max_cache, prefill_chunk_size=chunk,
     )
-    return DuoEngine(reordered, cfg, duo, batch_size=1, dtype=dtype)
+    return DuoEngine(reordered, cfg, duo, batch_size=1, dtype=dtype,
+                     kv_quant=kv_quant)
 
 
 def eval_retrieval(engine, tokenizer, dataset, n_samples: int,
@@ -105,6 +114,7 @@ def run_loop(
     batch_size: int = 8,
     reuse_lm: bool = True,
     lm: str = "constructed",
+    quantized_eval: bool = True,
 ) -> dict:
     from ..train.trainer import GateTrainConfig, GateTrainer
     from ..utils import enable_compilation_cache
@@ -178,15 +188,28 @@ def run_loop(
     max_cache = ctx_max + 512
     chunk = 256
     results = {}
+    variants = [("", {})]
+    if quantized_eval:
+        # the FLAGSHIP serving stack: W8A8 linears + INT4 KV cache — the
+        # reference's whole demo exists to show retrieval accuracy
+        # SURVIVES this quantization (demo/run_duo_w8a8kv4.py:83-206);
+        # prove the same through the quantized engine here.
+        variants.append(("_w8a8kv4", {"w8a8": True, "kv_quant": "int4"}))
     for name, pattern in [
         ("full_attention", full),
         ("trained_pattern", binary),
         ("inverted_pattern", inverted),
     ]:
-        eng = build_engine(params, cfg, pattern, sink, recent, max_cache, chunk)
-        results[name] = eval_retrieval(eng, tokenizer, dataset, eval_samples)
-        print(f"[loop] {name}: overlap={results[name]['word_overlap']:.3f} "
-              f"exact={results[name]['exact_match']:.3f}", flush=True)
+        for suffix, qkw in variants:
+            eng = build_engine(params, cfg, pattern, sink, recent,
+                               max_cache, chunk, **qkw)
+            results[name + suffix] = eval_retrieval(
+                eng, tokenizer, dataset, eval_samples
+            )
+            print(f"[loop] {name}{suffix}: "
+                  f"overlap={results[name + suffix]['word_overlap']:.3f} "
+                  f"exact={results[name + suffix]['exact_match']:.3f}",
+                  flush=True)
 
     report = {
         "lm": lm,
@@ -218,6 +241,8 @@ def main():
                    default="constructed")
     p.add_argument("--fresh", action="store_true",
                    help="retrain even if artifacts exist")
+    p.add_argument("--no-quant", action="store_true",
+                   help="skip the W8A8+INT4-KV engine variants")
     args = p.parse_args()
     report = run_loop(
         args.out_dir,
@@ -227,6 +252,7 @@ def main():
         sparsity=args.sparsity,
         reuse_lm=not args.fresh,
         lm=args.lm,
+        quantized_eval=not args.no_quant,
     )
     r = report["results"]
     print(json.dumps({k: v["word_overlap"] for k, v in r.items()}))

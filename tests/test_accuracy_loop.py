@@ -71,6 +71,30 @@ def test_three_way_retrieval_with_ground_truth_pattern(setup):
     assert scores["inverted"]["word_overlap"] < 0.5
 
 
+def test_three_way_retrieval_quantized_w8a8kv4(setup):
+    """The same 3-way separation must hold through the FLAGSHIP quantized
+    serving stack (W8A8 linears + INT4 KV — the reference demo's whole
+    point, demo/run_duo_w8a8kv4.py:83-206): retrieval accuracy survives
+    quantization under the right pattern and collapses under the wrong
+    one."""
+    tokenizer, dataset, params = setup
+    binary = ground_truth_pattern()
+    scores = {}
+    for name, pattern in [
+        ("full", np.ones_like(binary)),
+        ("duo", binary),
+        ("inverted", 1.0 - binary),
+    ]:
+        eng = build_engine(params, CONSTRUCTED_LM, pattern, SINK, RECENT,
+                           max_cache=1024, chunk=256,
+                           w8a8=True, kv_quant="int4")
+        scores[name] = eval_retrieval(eng, tokenizer, dataset,
+                                      n_samples=3, offset=60_000)
+    assert scores["full"]["word_overlap"] == 1.0
+    assert scores["duo"]["word_overlap"] == 1.0
+    assert scores["inverted"]["word_overlap"] < 0.5
+
+
 @pytest.mark.slow
 def test_gate_training_discovers_retrieval_heads(setup):
     """A short GateTrainer run separates the known retrieval heads from
