@@ -177,3 +177,12 @@ def test_npz_roundtrip(tmp_path, tiny):
         jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_convert_real_8b_geometry(tmp_path):
+    """Converter at the REAL Llama-3-8B geometry (see geometry_check.py;
+    ~5 min on the 1-core CPU host, also run on-chip by test_tpu_smoke)."""
+    from geometry_check import run_real_geometry_check
+
+    run_real_geometry_check(str(tmp_path / "synth8b"), num_layers=2)

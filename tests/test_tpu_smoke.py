@@ -231,3 +231,13 @@ def test_forward_chunk_int4_close_to_bf16_tpu():
     # (order-1 divergence), not quantization noise.
     rel = np.abs(hq - hb).mean() / np.abs(hb).mean()
     assert rel < 0.2, f"int4 path diverged from bf16: rel err {rel}"
+
+
+def test_convert_real_8b_geometry_on_chip(tmp_path):
+    """Deploy path at the REAL Llama-3-8B geometry ON THE CHIP: synthetic
+    HF checkpoint -> convert -> reorder with the reference-trained 8B
+    pattern -> W8A8+INT4 -> engine decode + permutation symmetry at real
+    widths (host-side conversion adds ~2-3 min to the smoke suite)."""
+    from geometry_check import run_real_geometry_check
+
+    run_real_geometry_check(str(tmp_path / "synth8b"), num_layers=2)
