@@ -56,6 +56,15 @@ class DuoEngine:
         self.duo = duo
         self.batch_size = batch_size
         self.dtype = dtype
+        assert len(duo.num_full_kv_heads) == cfg.num_layers, (
+            f"pattern has {len(duo.num_full_kv_heads)} layers, model has "
+            f"{cfg.num_layers} — wrong attn_patterns dir for this model?"
+        )
+        assert all(0 <= n <= cfg.num_kv_heads for n in duo.num_full_kv_heads), (
+            f"num_full_kv_heads {duo.num_full_kv_heads} outside "
+            f"[0, {cfg.num_kv_heads}] — pattern trained for a model with a "
+            "different KV-head count?"
+        )
         if attn_impl == "auto":
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "ref"
         self.attn_impl = attn_impl

@@ -195,9 +195,19 @@ def main():
     p.add_argument("--serving-batch", type=int, default=0,
                    help="also measure serving-pool aggregate decode at this batch")
     p.add_argument("--output", default="benchmark_result.txt")
+    p.add_argument("--json-output", default=None,
+                   help="also append one JSON object per run (the sweep "
+                   "artifact format, scripts/run_capacity_sweep.sh)")
     args = p.parse_args()
 
     engine, cfg, duo = build_engine(args)
+    record = {
+        "model": args.model, "layers": cfg.num_layers, "ctx": args.ctx_len,
+        "sparsity": args.sparsity, "sink": duo.sink_size,
+        "recent": duo.recent_size, "chunk": duo.prefill_chunk_size,
+        "batch": args.batch_size, "w8a8": bool(args.w8a8),
+        "kv_quant": args.kv_quant, "backend": jax.default_backend(),
+    }
     lines = [
         f"model={args.model} layers={cfg.num_layers} ctx={args.ctx_len} "
         f"sparsity={args.sparsity} sink={duo.sink_size} recent={duo.recent_size} "
@@ -205,12 +215,14 @@ def main():
     ]
     if not args.skip_prefill:
         t, kv = bench_prefill(engine, args.ctx_len)
+        record.update(prefill_ttft_p50_s=t, prefill_tok_s=args.ctx_len / t)
         lines.append(
             f"prefill: {t:.3f} s total, "
             f"{args.ctx_len / t:.0f} tok/s, kv_bytes={kv}"
         )
     t, kv = bench_decode(engine, args.ctx_len, args.decode_steps)
     agg = args.batch_size / t
+    record.update(decode_ms_per_step=t * 1e3, decode_tok_s=agg, kv_bytes=kv)
     lines.append(
         f"decode: {t * 1e3:.2f} ms/step, {agg:.1f} tok/s aggregate "
         f"(batch={args.batch_size}), kv_bytes={kv}"
@@ -220,6 +232,8 @@ def main():
             cfg, duo, args.serving_batch, args.ctx_len,
             steps=args.decode_steps,
         )
+        record.update(serving_batch=args.serving_batch,
+                      serving_tok_s=agg, serving_kv_bytes=kv)
         lines.append(
             f"serving: {agg:.1f} tok/s aggregate "
             f"(batch={args.serving_batch}, compact pool), kv_bytes={kv}"
@@ -227,6 +241,7 @@ def main():
     mem = device_memory_stats()
     for d, s in mem.items():
         if s:
+            record["peak_bytes_in_use"] = s.get("peak_bytes_in_use")
             lines.append(
                 f"device {d}: peak_bytes_in_use={s.get('peak_bytes_in_use')}"
             )
@@ -234,6 +249,11 @@ def main():
     print(report)
     with open(args.output, "a") as f:
         f.write(report + "\n\n")
+    if args.json_output:
+        import json
+
+        with open(args.json_output, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
 
 if __name__ == "__main__":

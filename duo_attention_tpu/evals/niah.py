@@ -110,17 +110,30 @@ class NIAHTester:
             self.cfg.output_dir, f"ctx_{ctx_len}_depth_{int(round(depth))}.json"
         )
 
+    def _encode(self, text: str) -> List[int]:
+        """Encode a prompt PIECE: strip the tokenizer's leading BOS so
+        concatenation does not scatter sink anchors mid-sequence."""
+        ids = encode_ids(self.tokenizer, text)
+        bos = getattr(self.tokenizer, "bos_token_id", None)
+        if bos is not None and ids and ids[0] == bos:
+            ids = ids[1:]
+        return ids
+
     def build_prompt_ids(self, ctx_len: int, depth_percent: float) -> List[int]:
-        """Token-budgeted haystack with the needle inserted at depth%."""
+        """Token-budgeted haystack with the needle inserted at depth%;
+        one BOS leads the sequence (the attention-sink anchor)."""
         # ~4 chars/token is a safe overestimate for byte/BPE tokenizers
         text = load_haystack(self.cfg.haystack_dir, ctx_len * 6)
-        hay_ids = encode_ids(self.tokenizer, text)
-        q_ids = encode_ids(self.tokenizer, self.cfg.question)
-        needle_ids = encode_ids(self.tokenizer, self.cfg.needle)
-        budget = ctx_len - len(q_ids) - len(needle_ids)
+        hay_ids = self._encode(text)
+        q_ids = self._encode(self.cfg.question)
+        needle_ids = self._encode(self.cfg.needle)
+        bos = getattr(self.tokenizer, "bos_token_id", None)
+        lead = [] if bos is None else [bos]
+        budget = ctx_len - len(q_ids) - len(needle_ids) - len(lead)
         hay_ids = hay_ids[:budget]
         insert_at = int(len(hay_ids) * depth_percent / 100.0)
-        return hay_ids[:insert_at] + needle_ids + hay_ids[insert_at:] + q_ids
+        return (lead + hay_ids[:insert_at] + needle_ids
+                + hay_ids[insert_at:] + q_ids)
 
     def run_cell(self, ctx_len: int, depth_percent: float) -> dict:
         path = self._cell_path(ctx_len, depth_percent)
@@ -229,8 +242,14 @@ def main():
     )
 
     p = argparse.ArgumentParser(description="NIAH evaluation")
-    p.add_argument("--model", default="tiny-gqa", help="preset name or HF dir")
+    p.add_argument("--model", default="tiny-gqa",
+                   help="preset name, 'constructed' (the hand-built "
+                   "retrieval circuit — the offline stand-in for a real "
+                   "checkpoint), or HF dir")
     p.add_argument("--attn-pattern", default=None, help="pattern dir (TSV+config)")
+    p.add_argument("--invert", action="store_true",
+                   help="keep the COMPLEMENT of the pattern's heads full "
+                   "(same budget, wrong heads — the ablation control)")
     p.add_argument("--sparsity", type=float, default=0.5)
     p.add_argument("--sink", type=int, default=64)
     p.add_argument("--recent", type=int, default=256)
@@ -253,12 +272,39 @@ def main():
                    "requires the single-device engine")
     args = p.parse_args()
 
-    cfg = PRESETS[args.model]
+    needle, question, answer = None, None, None
+    if args.model == "constructed":
+        # The hand-built retrieval circuit (models/constructed.py): the
+        # offline counterpart of the reference's real-checkpoint NIAH runs
+        # (needle_in_haystack.py:183-221) — its known retrieval heads make
+        # the depth x context grid MEANINGFUL (trained pattern keeps
+        # retrieval at every depth; nothing else in this environment can).
+        from ..models.constructed import CONSTRUCTED_LM, build_params
+        from ..train.data import _CODE_WORDS, _NAMES
+
+        cfg = CONSTRUCTED_LM
+        args.tokenizer = "word"
+        params = build_params(get_tokenizer("word"))
+        # needle/question in the circuit's passkey grammar (train/data.py
+        # format); haystack words are disjoint from the code words.
+        name, code = _NAMES[7], " ".join(_CODE_WORDS[9:12])
+        needle = f" Remember this: the secret code of {name} is {code}. "
+        question = f"\nQuestion: the secret code of {name} is"
+        answer = code
+    else:
+        cfg = PRESETS[args.model]
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
     sink, recent = args.sink, args.recent
     if args.attn_pattern:
+        from ..models.convert import reorder_params
+
         heads, sink, recent = load_attn_pattern(args.attn_pattern)
         heads, _ = sparsify_attention_heads(heads, sparsity=args.sparsity)
-        nf = num_full_kv_heads_per_layer(heads)[: cfg.num_layers]
+        if args.invert:
+            heads = 1.0 - heads
+        # retrieval-heads-first permutation — the same deploy step a real
+        # checkpoint goes through (convert.load_hf_model)
+        params, nf = reorder_params(params, cfg, heads)
     else:
         nf = (round(cfg.num_kv_heads * (1 - args.sparsity)),) * cfg.num_layers
     duo = DuoConfig(
@@ -268,13 +314,14 @@ def main():
         max_cache_size=args.max_cache,
         prefill_chunk_size=args.prefill_chunk,
     )
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    # the constructed circuit's score margins are built at f32
+    dtype = jnp.float32 if args.model == "constructed" else jnp.bfloat16
     if args.tp:
         from ..parallel.mesh import build_mesh, shard_params
 
         mesh = build_mesh(args.tp, data=1)
         params = shard_params(mesh, cfg, params)
-        engine = DuoEngine(params, cfg, duo, mesh=mesh)
+        engine = DuoEngine(params, cfg, duo, mesh=mesh, dtype=dtype)
     elif args.pp:
         import jax as _jax
 
@@ -284,17 +331,22 @@ def main():
             "--pp supports generate-mode only (no per-token simulation)"
         )
         engine = PipelinedEngine(
-            params, cfg, duo, devices=_jax.devices()[: args.pp]
+            params, cfg, duo, devices=_jax.devices()[: args.pp], dtype=dtype
         )
     else:
-        engine = DuoEngine(params, cfg, duo)
+        engine = DuoEngine(params, cfg, duo, dtype=dtype)
     tokenizer = get_tokenizer(args.tokenizer)
+    kw = {}
+    if needle is not None:
+        kw = {"needle": needle, "question": question, "answer": answer,
+              "gen_tokens": len(answer.split()) + 4}
     config = NIAHConfig(
         context_lengths=args.ctx,
         depth_percents=list(np.linspace(0, 100, args.depths)),
         output_dir=args.output_dir,
         haystack_dir=args.haystack_dir,
         simulation_tokens=args.simulation_tokens,
+        **kw,
     )
     NIAHTester(engine, tokenizer, config).run()
     if args.visualize:

@@ -354,7 +354,10 @@ def main():
     from .data import MultiPasskeyDataset, PasskeyDataConfig, data_iterator
 
     p = argparse.ArgumentParser(description="duo-attention gate training")
-    p.add_argument("--model", default="tiny-gqa")
+    p.add_argument("--model", default="tiny-gqa",
+                   help="preset name, or 'constructed' (the hand-built "
+                   "retrieval circuit with KNOWN retrieval heads — the "
+                   "offline stand-in for a real checkpoint)")
     p.add_argument("--lr", type=float, default=0.02)
     p.add_argument("--reg-weight", type=float, default=0.05)
     p.add_argument("--num-steps", type=int, default=2000)
@@ -380,7 +383,15 @@ def main():
     p.add_argument("--log-every", type=int, default=10)
     args = p.parse_args()
 
-    mcfg = PRESETS[args.model]
+    if args.model == "constructed":
+        from ..models.constructed import CONSTRUCTED_LM, build_params
+
+        mcfg = CONSTRUCTED_LM
+        args.tokenizer = "word"
+        params = build_params(get_tokenizer("word"))
+    else:
+        mcfg = PRESETS[args.model]
+        params = llama.init_params(mcfg, jax.random.PRNGKey(0))
     tcfg = GateTrainConfig(
         lr=args.lr,
         num_steps=args.num_steps,
@@ -396,7 +407,6 @@ def main():
         block_k=args.block_k,
     )
     mesh = build_mesh_for(tcfg)
-    params = llama.init_params(mcfg, jax.random.PRNGKey(0))
     trainer = GateTrainer(params, mcfg, tcfg, mesh)
     if args.resume:
         trainer.resume()
