@@ -193,3 +193,56 @@ def test_zh_tasks_route_to_zh_scorers():
     assert TASK_METRIC["passage_retrieval_zh"] is M.retrieval_zh_score
     assert TASK_METRIC["lsht"] is M.classification_score  # language-neutral
     assert TASK_METRIC["multifieldqa_en"] is M.qa_f1_score
+
+
+def test_engine_pattern_mismatch_guard():
+    """A pattern for the wrong model must fail loudly at engine build
+    (used to surface as a negative-shape broadcast deep in init_cache)."""
+    cfg = TINY_LLAMA
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    wrong_layers = DuoConfig(
+        sink_size=8, recent_size=16,
+        num_full_kv_heads=(1,) * (cfg.num_layers + 1), max_cache_size=512,
+    )
+    with pytest.raises(AssertionError, match="wrong attn_patterns dir"):
+        DuoEngine(params, cfg, wrong_layers, dtype=jnp.float32)
+    too_many_heads = DuoConfig(
+        sink_size=8, recent_size=16,
+        num_full_kv_heads=(cfg.num_kv_heads + 5,) * cfg.num_layers,
+        max_cache_size=512,
+    )
+    with pytest.raises(AssertionError, match="KV-head count"):
+        DuoEngine(params, cfg, too_many_heads, dtype=jnp.float32)
+
+
+def test_niah_constructed_mode_retrieves():
+    """The NIAH harness on the constructed circuit + its trained-at-32k
+    pattern retrieves the passkey needle (the driver-artifact path,
+    scripts/run_niah_tpu.sh) — and a single BOS leads every prompt."""
+    from duo_attention_tpu.models.constructed import CONSTRUCTED_LM, build_params
+    from duo_attention_tpu.models.convert import reorder_params
+    from duo_attention_tpu.tokenizer import get_tokenizer
+    from duo_attention_tpu.train.data import _CODE_WORDS, _NAMES
+
+    tok = get_tokenizer("word")
+    params = build_params(tok)
+    cfg = CONSTRUCTED_LM
+    binary = np.zeros((cfg.num_layers, cfg.num_kv_heads))
+    binary[1, :2] = 1.0  # the known ground-truth retrieval heads
+    params, nf = reorder_params(params, cfg, binary)
+    duo = DuoConfig(sink_size=16, recent_size=64, num_full_kv_heads=nf,
+                    max_cache_size=1024, prefill_chunk_size=128)
+    eng = DuoEngine(params, cfg, duo, dtype=jnp.float32)
+    name, code = _NAMES[3], " ".join(_CODE_WORDS[4:7])
+    ncfg = NIAHConfig(
+        context_lengths=[448], depth_percents=[0.0, 50.0, 100.0],
+        needle=f" Remember this: the secret code of {name} is {code}. ",
+        question=f"\nQuestion: the secret code of {name} is",
+        answer=code, gen_tokens=7, output_dir="/tmp/niah_constructed_test",
+        resume=False,
+    )
+    tester = NIAHTester(eng, tok, ncfg)
+    ids = tester.build_prompt_ids(448, 50.0)
+    assert ids[0] == tok.bos_token_id and tok.bos_token_id not in ids[1:]
+    results = tester.run()
+    assert all(r["word_overlap"] == 1.0 for r in results), results
