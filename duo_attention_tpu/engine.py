@@ -290,10 +290,13 @@ class DuoEngine:
     def decode_step(self, cache: DuoCache, token: jnp.ndarray, length: int):
         """Single decode step (used by eval 'simulation' mode,
         reference: eval/LongBench/pred.py:125-142). length = host-known
-        token count before this step."""
-        fn = self._decode_fn(self.bucket_for(length + 1), 1)
-        tokens, cache = fn(self.params, cache, token)
-        return tokens[:, 0], cache
+        token count before this step. Returns (next_token [B], cache) —
+        the PREDICTION, not the fed token (the scan's emitted stream
+        starts with its input; return_next carries the argmax after it)."""
+        fn = self._decode_fn(self.bucket_for(length + 1), 1,
+                             return_next=True)
+        _, cache, nxt = fn(self.params, cache, token)
+        return nxt, cache
 
 
 def _burst_plan(burst: int, n: int) -> list:

@@ -138,16 +138,18 @@ def predict_task(
                 import jax.numpy as jnp
 
                 cache, _ = engine.prefill(arr[:, :-sim])
-                pos = arr.shape[1] - sim
+                pos = arr.shape[1] - sim  # tokens in the cache so far
                 for t in range(sim):
-                    _, cache = engine.decode_step(
-                        cache, jnp.asarray(arr[:, pos + t - 1]), pos + t
+                    nxt, cache = engine.decode_step(
+                        cache, jnp.asarray(arr[:, pos + t]), pos + t
                     )
                 # burst decode: reuses the engine's per-bucket programs
-                # instead of compiling one scan per distinct gen_len
+                # instead of compiling one scan per distinct gen_len.
+                # nxt = the first GENERATED token (decode_tokens emits its
+                # first input, so feeding the prompt tail here would echo
+                # it into the prediction).
                 tokens, _ = engine.decode_tokens(
-                    cache, jnp.asarray(arr[:, -1]), gen_len,
-                    length=arr.shape[1],
+                    cache, nxt, gen_len, length=arr.shape[1],
                 )
             else:
                 tokens, _ = engine.generate(arr, gen_len)
@@ -213,6 +215,7 @@ def score_file_e(task: str, pred_path: str) -> Dict[str, float]:
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from ..config import PRESETS, DuoConfig
     from ..models import llama
@@ -238,6 +241,9 @@ def main():
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--e-split", action="store_true")
     p.add_argument("--score-only", action="store_true")
+    p.add_argument("--invert", action="store_true",
+                   help="keep the COMPLEMENT of the pattern's heads full "
+                   "(same budget, wrong heads — the ablation control)")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel over N devices (reference: "
                    "pred.py:237,243 enable_tp)")
@@ -252,12 +258,27 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     results = {}
     if not args.score_only:
-        cfg = PRESETS[args.model]
+        if args.model == "constructed":
+            # the hand-built retrieval circuit (models/constructed.py):
+            # few-shot tasks whose template ends at {input} (triviaqa) are
+            # in its passkey grammar, so pred quality is meaningful
+            from ..models.constructed import CONSTRUCTED_LM, build_params
+
+            cfg = CONSTRUCTED_LM
+            args.tokenizer = "word"
+            params = build_params(get_tokenizer("word"))
+        else:
+            cfg = PRESETS[args.model]
+            params = llama.init_params(cfg, jax.random.PRNGKey(0))
         sink, recent = args.sink, args.recent
         if args.attn_pattern:
+            from ..models.convert import reorder_params
+
             heads, sink, recent = load_attn_pattern(args.attn_pattern)
             heads, _ = sparsify_attention_heads(heads, sparsity=args.sparsity)
-            nf = num_full_kv_heads_per_layer(heads)[: cfg.num_layers]
+            if args.invert:
+                heads = 1.0 - heads
+            params, nf = reorder_params(params, cfg, heads)
         else:
             nf = (round(cfg.num_kv_heads * (1 - args.sparsity)),) * cfg.num_layers
         duo = DuoConfig(
@@ -267,13 +288,15 @@ def main():
             max_cache_size=args.max_cache,
             prefill_chunk_size=args.prefill_chunk,
         )
-        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        # the constructed circuit's score margins are built at f32
+        dtype = (jnp.float32 if args.model == "constructed"
+                 else jnp.bfloat16)
         if args.tp:
             from ..parallel.mesh import build_mesh, shard_params
 
             mesh = build_mesh(args.tp, data=1)
             params = shard_params(mesh, cfg, params)
-            engine = DuoEngine(params, cfg, duo, mesh=mesh)
+            engine = DuoEngine(params, cfg, duo, mesh=mesh, dtype=dtype)
         elif args.pp:
             import jax as _jax
 
@@ -284,10 +307,11 @@ def main():
                 "simulation); pass --simulation-tokens 0"
             )
             engine = PipelinedEngine(
-                params, cfg, duo, devices=_jax.devices()[: args.pp]
+                params, cfg, duo, devices=_jax.devices()[: args.pp],
+                dtype=dtype,
             )
         else:
-            engine = DuoEngine(params, cfg, duo)
+            engine = DuoEngine(params, cfg, duo, dtype=dtype)
         tokenizer = get_tokenizer(args.tokenizer)
         for task in args.tasks:
             data = load_task_data(task, args.data_dir, args.e_split)

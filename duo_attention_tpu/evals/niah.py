@@ -147,17 +147,19 @@ class NIAHTester:
         if self.cfg.simulation_tokens > 0:
             sim = min(self.cfg.simulation_tokens, prompt.shape[1] - 1)
             cache, _ = self.engine.prefill(prompt[:, :-sim])
-            pos = prompt.shape[1] - sim
+            pos = prompt.shape[1] - sim  # tokens in the cache so far
             import jax.numpy as jnp
 
             for t in range(sim):
-                _, cache = self.engine.decode_step(
-                    cache, jnp.asarray(prompt[:, pos + t - 1]), pos + t
+                nxt, cache = self.engine.decode_step(
+                    cache, jnp.asarray(prompt[:, pos + t]), pos + t
                 )
             # generate from the simulated state (burst decode: reuses the
-            # engine's one compiled per-bucket program)
+            # engine's one compiled per-bucket program). nxt = the first
+            # GENERATED token — decode_tokens emits its first input, so
+            # feeding the prompt tail here would echo it into the response.
             tokens, cache = self.engine.decode_tokens(
-                cache, jnp.asarray(prompt[:, -1]), self.cfg.gen_tokens,
+                cache, nxt, self.cfg.gen_tokens,
                 length=prompt.shape[1],
             )
         else:

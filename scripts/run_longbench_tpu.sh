@@ -1,53 +1,66 @@
 #!/usr/bin/env bash
 # Driver-run LongBench artifact: 2-task pred+eval through the real TPU
 # engine (VERDICT r2 item 6). No third-party corpora ship with this build,
-# so the task jsonl files are synthesized procedurally in the LongBench
-# record format (context/input/answers/all_classes/length — the same
-# schema tests/test_evals.py::test_longbench_predict_offline uses); the
-# artifact demonstrates the full pred -> score pipeline on hardware
-# (reference counterpart: eval/LongBench/pred.py + eval.py).
+# so task jsonl files are synthesized in the LongBench record format
+# (context/input/answers/all_classes/length). triviaqa's template ends at
+# bare {input} (a few-shot task), so samples written in the constructed
+# circuit's passkey grammar make prediction quality MEANINGFUL — the
+# trained pattern scores high while --invert collapses. passage_count
+# exercises the second metric family on the same hardware run.
+# Reference counterpart: eval/LongBench/pred.py + eval.py:146-155.
 set -e
 cd "$(dirname "$0")/.."
 OUT=${1:-artifacts/longbench_tpu}
+PATTERN=${2:-artifacts/constructed_32k}
 DATA="$OUT/data"
 mkdir -p "$DATA"
 python - "$DATA" <<'EOF'
 import json, sys
 import numpy as np
 from duo_attention_tpu.evals.niah import procedural_haystack
+from duo_attention_tpu.train.data import _CODE_WORDS, _NAMES
 
-rng = np.random.default_rng(0)
-cities = ["Paris", "London", "Osaka", "Lima", "Oslo", "Quito", "Cairo", "Perth"]
-names = ["Alice", "Bob", "Carol", "Dave", "Erin", "Frank", "Grace", "Heidi"]
+rng = np.random.default_rng(7)
 recs = []
 for i in range(8):
-    hay = procedural_haystack(6000, seed=100 + i)
-    fact = f" {names[i]} lives in {cities[i]}. "
-    at = len(hay) // (i + 2)
+    names = rng.choice(_NAMES, size=3, replace=False)
+    flat = rng.choice(_CODE_WORDS, size=9, replace=False)
+    codes = [" ".join(flat[j * 3:(j + 1) * 3]) for j in range(3)]
+    hay = procedural_haystack(12000, seed=300 + i).split(". ")
+    ctx_parts = []
+    for j, (n, c) in enumerate(zip(names, codes)):
+        ctx_parts.append(". ".join(hay[j * 20:(j + 1) * 20]))
+        ctx_parts.append(f" Remember this: the secret code of {n} is {c}. ")
+    # >256 words of tail so no passkey lands inside the recent window
+    ctx_parts.append(". ".join(hay[60:100]))
+    qi = int(rng.integers(0, 3))
     recs.append({
-        "context": hay[:at] + fact + hay[at:],
-        "input": f"Where does {names[i]} live?",
-        "answers": [cities[i]], "all_classes": [],
-        "length": len(hay) // 4,
+        "context": "".join(ctx_parts),
+        "input": f"Question: the secret code of {names[qi]} is",
+        "answers": [codes[qi]], "all_classes": [],
+        "length": sum(len(p.split()) for p in ctx_parts),
     })
-with open(sys.argv[1] + "/hotpotqa.jsonl", "w") as f:
+with open(sys.argv[1] + "/triviaqa.jsonl", "w") as f:
     for r in recs:
         f.write(json.dumps(r) + "\n")
-# passage_count: classification-flavored second task (different metric path)
 recs = []
 for i in range(8):
     n = int(rng.integers(2, 6))
     ctx = "\n\n".join(procedural_haystack(1200, seed=200 + i * 10 + j)
                       for j in range(n))
     recs.append({"context": ctx, "input": "", "answers": [str(n)],
-                 "all_classes": [], "length": len(ctx) // 4})
+                 "all_classes": [], "length": len(ctx.split())})
 with open(sys.argv[1] + "/passage_count.jsonl", "w") as f:
     for r in recs:
         f.write(json.dumps(r) + "\n")
 print("wrote", sys.argv[1])
 EOF
-python -m duo_attention_tpu.evals.longbench \
-  --tasks hotpotqa passage_count --model tiny-gqa \
-  --data-dir "$DATA" --out-dir "$OUT" \
-  --max-prompt-len 3500 --max-cache 4096 --prefill-chunk 512 \
-  --simulation-tokens 16 --max-samples 8
+RUN="python -m duo_attention_tpu.evals.longbench
+     --model constructed
+     --data-dir $DATA --max-prompt-len 8000 --max-cache 12288
+     --prefill-chunk 1024 --simulation-tokens 16 --max-samples 8"
+$RUN --tasks triviaqa --sparsity 0.0 --out-dir "$OUT/full"
+$RUN --tasks triviaqa passage_count --attn-pattern "$PATTERN" \
+     --sparsity 0.5 --out-dir "$OUT/trained"
+$RUN --tasks triviaqa --attn-pattern "$PATTERN" --sparsity 0.5 --invert \
+     --out-dir "$OUT/inverted"
