@@ -67,18 +67,27 @@ def build_engine(args):
 
 
 def bench_prefill(engine, ctx_len, runs=3):
-    """Chunked prefill latency over ctx_len tokens (median of runs)."""
+    """Chunked prefill latency over ctx_len tokens (median of runs).
+
+    The previous run's cache must be dropped BEFORE the next prefill
+    allocates its own: at 32 layers the two caches plus the 8 GB int8
+    weights exceed the 16 GB chip from 64k context up (prefill donates
+    its cache argument, so only the benchmark's outer reference keeps a
+    second copy alive)."""
     ids = np.zeros((1, ctx_len), np.int32)
     # warm compile for every bucket
     cache, logits = engine.prefill(ids)
     fence(logits)
+    kv = kv_memory_bytes(cache)
+    del cache
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
         cache, logits = engine.prefill(ids)
         fence(logits)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)), kv_memory_bytes(cache)
+        del cache
+    return float(np.median(times)), kv
 
 
 def bench_decode(engine, ctx_len, steps=64, warmup=8, repeats=3):

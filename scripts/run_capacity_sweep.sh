@@ -5,16 +5,29 @@
 # (README.md:196-203) + its TTFT metric (BASELINE.json). Every context is
 # a multiple of 8192 (the INT4 KV DMA block — see CLAUDE.md invariants).
 # Output: artifacts/efficiency_sweep/{benchmark_result.txt,sweep.jsonl}.
-set -e
+set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-artifacts/efficiency_sweep}
 mkdir -p "$OUT"
-for CTX in 32768 65536 131072 196608 327680; do
+touch "$OUT/sweep.jsonl"
+# prefill chunk shrinks with context: the chunk-sized activation temps
+# (and the streaming ring's sink+recent+chunk staging x 32 layers) share
+# the chip with the growing KV cache + 8 GB of int8 weights — same recipe
+# as the demo capacity table (README).
+for POINT in 32768:8192 65536:8192 131072:8192 196608:4096 327680:1024; do
+  CTX=${POINT%:*} CHUNK=${POINT#*:}
+  # resume-by-existence (the NIAH convention): a crashed/interrupted sweep
+  # rerun only measures the missing contexts
+  if grep -q "\"ctx\": $CTX" "$OUT/sweep.jsonl"; then
+    echo "[sweep] ctx=$CTX already recorded, skipping"
+    continue
+  fi
   python -m duo_attention_tpu.evals.efficiency \
     --num-layers 32 --w8a8 --kv-quant int4 --sparsity 0.5 \
-    --ctx-len "$CTX" --prefill-chunk 8192 \
+    --ctx-len "$CTX" --prefill-chunk "$CHUNK" \
     --output "$OUT/benchmark_result.txt" \
-    --json-output "$OUT/sweep.jsonl"
+    --json-output "$OUT/sweep.jsonl" \
+    || echo "[sweep] ctx=$CTX FAILED (continuing)"
 done
 python - "$OUT/sweep.jsonl" <<'EOF'
 import json, sys
