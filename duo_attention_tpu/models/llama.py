@@ -539,6 +539,7 @@ def forward_two_way(
     seq_axis: Optional[str] = None,
     block_k: int = 512,
     layer_hook=None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Teacher/student two-stream forward for gate identification.
 
@@ -558,6 +559,16 @@ def forward_two_way(
     top of each block; FSDP-sharded training (parallel/fsdp.py, the
     FSDP2 counterpart of duo_attn/train.py:60-69) uses it to all-gather
     one layer's sharded weights at its use site.
+
+    ``remat=True`` wraps each layer's teacher+student block in
+    ``jax.checkpoint`` (the reference applies per-decoder-layer activation
+    checkpointing, duo_attn/train.py:302): the backward pass recomputes a
+    layer's internals instead of keeping them live, so peak activation
+    memory is O(num_layers x residual) + O(1 layer's internals). The hook
+    runs INSIDE the remat'd block, so FSDP's per-layer all-gather is also
+    recomputed in backward instead of holding every layer's gathered
+    weights — exactly FSDP2's reshard-after-forward + checkpoint
+    composition.
 
     Returns (teacher_hidden, student_hidden), both post-final-norm
     [B, S_local, E].
@@ -593,10 +604,10 @@ def forward_two_way(
     ht = x  # teacher
     hs = x  # student
 
-    for li, layer in enumerate(params["layers"]):
+    def block(layer, alpha_raw, ht, hs):
         if layer_hook is not None:
             layer, (ht, hs) = layer_hook(layer, (ht, hs))
-        alpha = jnp.clip(gates[li], 0.0, 1.0).astype(jnp.float32)
+        alpha = jnp.clip(alpha_raw, 0.0, 1.0).astype(jnp.float32)
         # per-query-head mix weights [1, 1, Hq, 1]
         alpha_q = jnp.repeat(alpha, G).reshape(1, 1, cfg.num_heads, 1)
 
@@ -623,6 +634,12 @@ def forward_two_way(
         mixed = mixed.astype(stream_out.dtype)
         hs = hs + _proj(layer, mixed.reshape(B, S, -1), "wo")
         hs = hs + _mlp(layer, rms_norm(hs, layer["post_norm"], cfg.rms_norm_eps), cfg)
+        return ht, hs
+
+    if remat:
+        block = jax.checkpoint(block)
+    for li, layer in enumerate(params["layers"]):
+        ht, hs = block(layer, gates[li], ht, hs)
 
     ht = rms_norm(ht, params["final_norm"], cfg.rms_norm_eps)
     hs = rms_norm(hs, params["final_norm"], cfg.rms_norm_eps)

@@ -199,14 +199,7 @@ class xla_matmul_only:
         _XLA_MATMUL_ONLY = self.prev
 
 
-def w8a8_linear(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
-                out_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Full dynamic-activation W8A8 linear.
-
-    Large matmuls go through the Pallas GEMM with the scale epilogue fused
-    in-kernel (ops/gemm.py — XLA otherwise materializes the int32/f32
-    intermediates as HBM temps, see that module's docstring); small/decode
-    shapes use the plain dot_general path."""
+def _w8a8_linear_impl(x, wq, w_scale, out_dtype):
     xq, xs = quantize_act_per_token(x)
     lead = x.shape[:-1]
     M = 1
@@ -222,6 +215,58 @@ def w8a8_linear(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
         )
         return out.reshape(*lead, N)
     return int8_matmul(xq, xs, wq, w_scale, out_dtype)
+
+
+@jax.custom_vjp
+def _w8a8_linear_ste(x, wq, w_scale, out_dtype_token):
+    # out_dtype rides as a shaped zero-size "token" so custom_vjp sees only
+    # array args (nondiff_argnums cannot hold an unhashable dtype object in
+    # every caller's form); its dtype IS the requested out_dtype.
+    return _w8a8_linear_impl(x, wq, w_scale, out_dtype_token.dtype)
+
+
+def _w8a8_linear_ste_fwd(x, wq, w_scale, out_dtype_token):
+    out = _w8a8_linear_impl(x, wq, w_scale, out_dtype_token.dtype)
+    return out, (wq, w_scale, x.dtype)
+
+
+def _w8a8_linear_ste_bwd(res, g):
+    """Straight-through estimator: gradients flow as if the linear were
+    ``x @ (wq * w_scale)`` — activation quantization treated as identity.
+    Needed by gate training on W8A8 weights (forward_two_way -> _proj):
+    ``jnp.round``'s true derivative is zero, which would silently kill the
+    distill gradient through every quantized projection. Weights are
+    frozen in gate training, so their cotangents are symbolic zeros."""
+    import numpy as np
+
+    from jax import dtypes
+
+    wq, w_scale, x_dtype = res
+    gf = g.astype(jnp.float32) * w_scale  # fold per-out-channel scale
+    dx = jax.lax.dot_general(
+        gf.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
+        (((gf.ndim - 1,), (1,)), ((), ())),
+    )
+    return (
+        dx.astype(x_dtype),
+        np.zeros(wq.shape, dtype=dtypes.float0),  # int8: float0 cotangent
+        jnp.zeros_like(w_scale),
+        jnp.zeros((0,), g.dtype),  # the dtype token
+    )
+
+
+_w8a8_linear_ste.defvjp(_w8a8_linear_ste_fwd, _w8a8_linear_ste_bwd)
+
+
+def w8a8_linear(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
+                out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Full dynamic-activation W8A8 linear (differentiable: STE backward).
+
+    Large matmuls go through the Pallas GEMM with the scale epilogue fused
+    in-kernel (ops/gemm.py — XLA otherwise materializes the int32/f32
+    intermediates as HBM temps, see that module's docstring); small/decode
+    shapes use the plain dot_general path."""
+    return _w8a8_linear_ste(x, wq, w_scale, jnp.zeros((0,), out_dtype))
 
 
 def quantize_layer_weights(layer: Dict, keys=("wq", "wk", "wv", "wo",

@@ -59,6 +59,11 @@ class GateTrainConfig:
     sp: int = 1
     # shard the frozen params over the flattened mesh (parallel/fsdp.py)
     fsdp: bool = False
+    # per-layer activation checkpointing of the two-way forward (the
+    # reference wraps every decoder layer, duo_attn/train.py:302); on by
+    # default like the reference — at 7-8B x 32k the per-layer teacher+
+    # student activations otherwise OOM the backward.
+    remat: bool = True
 
 
 def lr_schedule(cfg: GateTrainConfig):
@@ -88,6 +93,7 @@ def make_loss_fn(mcfg: ModelConfig, tcfg: GateTrainConfig, seq_axis=None, axes=(
             input_ids,
             seq_axis=seq_axis,
             block_k=tcfg.block_k,
+            remat=tcfg.remat,
         )
         mask = labels != IGNORE_INDEX
         d = distill_loss(teacher, student, mask, axis_names=axes)
@@ -125,7 +131,7 @@ def make_train_step(mcfg: ModelConfig, tcfg: GateTrainConfig, optimizer,
                 teacher, student = llama.forward_two_way(
                     params, g, mcfg, tcfg.sink_size, tcfg.recent_size, ids,
                     seq_axis="seq", block_k=tcfg.block_k,
-                    layer_hook=layer_hook,
+                    layer_hook=layer_hook, remat=tcfg.remat,
                 )
                 mask = labels != IGNORE_INDEX
                 return distill_loss(teacher, student, mask, axis_names=axes)
@@ -371,6 +377,9 @@ def main():
     p.add_argument("--sp", type=int, default=1)
     p.add_argument("--fsdp", action="store_true",
                    help="shard the frozen params over the dpxsp mesh")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable per-layer activation checkpointing "
+                   "(reference applies it always, duo_attn/train.py:302)")
     p.add_argument("--save-steps", type=int, default=50)
     p.add_argument("--output-dir", default="attn_patterns/run")
     p.add_argument("--tokenizer", default="byte")
@@ -381,6 +390,11 @@ def main():
                         "per distinct sample length)")
     p.add_argument("--block-k", type=int, default=512)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--wandb", action="store_true",
+                   help="log per-step metrics to wandb (the reference logs "
+                   "wandb by default, duo_attn/train.py:354-359; opt-in "
+                   "here because this environment has no egress)")
+    p.add_argument("--wandb-project", default="duo-attention-tpu")
     args = p.parse_args()
 
     if args.model == "constructed":
@@ -404,6 +418,7 @@ def main():
         dp=args.dp,
         sp=args.sp,
         fsdp=args.fsdp,
+        remat=not args.no_remat,
         block_k=args.block_k,
     )
     mesh = build_mesh_for(tcfg)
@@ -421,7 +436,22 @@ def main():
     dataset = MultiPasskeyDataset(tokenizer, dcfg)
     it = data_iterator(dataset, tcfg.batch_size * max(tcfg.dp, 1),
                        pad_to=args.pad_to)
-    trainer.train(it, log_every=args.log_every)
+    wandb_run = None
+    if args.wandb:
+        import os as _os
+
+        import wandb
+
+        wandb_run = wandb.init(
+            project=args.wandb_project,
+            name=_os.path.basename(args.output_dir.rstrip("/")),
+            config=vars(args),
+        )
+    try:
+        trainer.train(it, log_every=args.log_every, wandb_run=wandb_run)
+    finally:
+        if wandb_run is not None:
+            wandb_run.finish()
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ cd "$(dirname "$0")/.."
 OUT=${1:-artifacts/efficiency_sweep}
 mkdir -p "$OUT"
 touch "$OUT/sweep.jsonl"
+FAILED=0
 # prefill chunk shrinks with context: the chunk-sized activation temps
 # (and the streaming ring's sink+recent+chunk staging x 32 layers) share
 # the chip with the growing KV cache + 8 GB of int8 weights — same recipe
@@ -17,8 +18,9 @@ touch "$OUT/sweep.jsonl"
 for POINT in 32768:8192 65536:8192 131072:8192 196608:4096 327680:1024; do
   CTX=${POINT%:*} CHUNK=${POINT#*:}
   # resume-by-existence (the NIAH convention): a crashed/interrupted sweep
-  # rerun only measures the missing contexts
-  if grep -q "\"ctx\": $CTX" "$OUT/sweep.jsonl"; then
+  # rerun only measures the missing contexts. Anchored on the trailing
+  # comma: an unanchored "\"ctx\": $CTX" makes 32768 match 327680's line.
+  if grep -q "\"ctx\": $CTX," "$OUT/sweep.jsonl"; then
     echo "[sweep] ctx=$CTX already recorded, skipping"
     continue
   fi
@@ -27,7 +29,7 @@ for POINT in 32768:8192 65536:8192 131072:8192 196608:4096 327680:1024; do
     --ctx-len "$CTX" --prefill-chunk "$CHUNK" \
     --output "$OUT/benchmark_result.txt" \
     --json-output "$OUT/sweep.jsonl" \
-    || echo "[sweep] ctx=$CTX FAILED (continuing)"
+    || { echo "[sweep] ctx=$CTX FAILED (continuing)"; FAILED=1; }
 done
 python - "$OUT/sweep.jsonl" <<'EOF'
 import json, sys
@@ -36,3 +38,6 @@ for r in rows:
     print(f"ctx={r['ctx']:>7} ttft_p50={r.get('prefill_ttft_p50_s', 0):7.2f}s "
           f"decode={r['decode_tok_s']:6.1f} tok/s kv={r['kv_bytes']/1e9:5.2f} GB")
 EOF
+# continue-on-failure per point, but surface overall failure to callers
+# (the driver would otherwise read an all-points-failed sweep as rc=0)
+exit $FAILED

@@ -122,6 +122,53 @@ def test_gate_gradients_flow(tiny):
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_two_way_remat_matches_values_and_grads(tiny):
+    """Per-layer activation checkpointing (reference duo_attn/train.py:302)
+    must change memory, not math: forward values AND gate gradients are
+    identical with remat on/off."""
+    cfg, params = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(5), (1, 64), 0, cfg.vocab_size)
+    gates = jnp.full((cfg.num_layers, cfg.num_kv_heads), 0.4, jnp.float32)
+
+    def loss(g, remat):
+        t, s = llama.forward_two_way(
+            params, g, cfg, 8, 16, ids, block_k=32, remat=remat
+        )
+        return jnp.mean((t - s) ** 2), (t, s)
+
+    (l0, (t0, s0)), g0 = jax.value_and_grad(loss, has_aux=True)(gates, False)
+    (l1, (t1, s1)), g1 = jax.value_and_grad(loss, has_aux=True)(gates, True)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), atol=1e-6)
+    assert np.isclose(float(l1), float(l0), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-6)
+    assert float(jnp.abs(g1).sum()) > 0
+
+
+def test_fsdp_remat_step_matches_no_remat(tmp_path):
+    """remat composes with the FSDP gather hook (the all-gather re-runs in
+    backward instead of being saved) without changing the trained step."""
+    from duo_attention_tpu.train.data import IGNORE_INDEX as IGN
+
+    cfg = TINY_GQA
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, cfg.vocab_size, (2, 128), dtype=np.int32)
+    labels = np.where(rng.uniform(size=ids.shape) < 0.2, ids, IGN)
+    results = {}
+    for remat in (False, True):
+        tcfg = GateTrainConfig(
+            lr=0.05, num_steps=2, warmup_steps=1, sink_size=8,
+            recent_size=16, dp=2, sp=4, fsdp=True, remat=remat, block_k=32,
+            output_dir=str(tmp_path / f"remat{remat}"),
+        )
+        trainer = GateTrainer(params, cfg, tcfg, build_mesh_for(tcfg))
+        loss, d, reg = trainer.train_step(ids, labels)
+        results[remat] = (loss, np.asarray(trainer.gates))
+    assert np.isclose(results[True][0], results[False][0], atol=1e-5)
+    np.testing.assert_allclose(results[True][1], results[False][1], atol=2e-5)
+
+
 def test_ulysses_roundtrip():
     from duo_attention_tpu.parallel.ulysses import head_to_seq, seq_to_head
     from jax.sharding import Mesh, PartitionSpec as P
