@@ -51,6 +51,14 @@ class ModelConfig:
     head_dim: int = 128
     rope_theta: float = 10000.0
     rope_scaling: RopeScaling = RopeScaling()
+    # High-precision RoPE phase computation (ops/rope.rope_cos_sin_precise).
+    # Plain f32 angle = pos * inv_freq carries ~pos * 2^-23 rad of rounding
+    # error — ~0.5 rad at 4M tokens for the fastest pair, which scrambles
+    # high-frequency channels. TPUs have no fast f64, so the precise mode
+    # range-reduces with a split-position product (error ~5e-4 rad at 4M,
+    # position-independent). Negligible cost (elementwise, XLA-fused); off
+    # by default so short-context numerics stay bit-identical.
+    rope_precise: bool = False
     rms_norm_eps: float = 1e-5
     max_position_embeddings: int = 4096
     tie_word_embeddings: bool = False

@@ -141,11 +141,12 @@ def run_loop(
     # content-based induction did not emerge within this environment's
     # compute budget (see constructed.py docstring for the measurements).
     losses = []
-    if lm == "constructed":
-        from ..models.constructed import CONSTRUCTED_LM, build_params
+    if lm in ("constructed", "constructed-long"):
+        from ..models.constructed import build_params, spec_for
 
-        cfg = CONSTRUCTED_LM
-        params = build_params(tokenizer)
+        spec = spec_for(lm)
+        cfg = spec.model_config()
+        params = build_params(tokenizer, spec=spec)
     else:
         cfg = cfg or TINY_LM
         lm_path = os.path.join(out_dir, "tiny_lm.npz")
@@ -237,7 +238,8 @@ def main():
     p.add_argument("--gate-steps", type=int, default=600)
     p.add_argument("--eval-samples", type=int, default=16)
     p.add_argument("--sparsity", type=float, default=0.5)
-    p.add_argument("--lm", choices=["constructed", "pretrain"],
+    p.add_argument("--lm",
+                   choices=["constructed", "constructed-long", "pretrain"],
                    default="constructed")
     p.add_argument("--fresh", action="store_true",
                    help="retrain even if artifacts exist")

@@ -258,15 +258,16 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     results = {}
     if not args.score_only:
-        if args.model == "constructed":
+        if args.model in ("constructed", "constructed-long"):
             # the hand-built retrieval circuit (models/constructed.py):
             # few-shot tasks whose template ends at {input} (triviaqa) are
             # in its passkey grammar, so pred quality is meaningful
-            from ..models.constructed import CONSTRUCTED_LM, build_params
+            from ..models.constructed import build_params, spec_for
 
-            cfg = CONSTRUCTED_LM
+            spec = spec_for(args.model)
+            cfg = spec.model_config()
             args.tokenizer = "word"
-            params = build_params(get_tokenizer("word"))
+            params = build_params(get_tokenizer("word"), spec=spec)
         else:
             cfg = PRESETS[args.model]
             params = llama.init_params(cfg, jax.random.PRNGKey(0))

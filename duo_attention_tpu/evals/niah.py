@@ -110,6 +110,17 @@ class NIAHTester:
             self.cfg.output_dir, f"ctx_{ctx_len}_depth_{int(round(depth))}.json"
         )
 
+    def _haystack_ids(self, num_chars: int) -> List[int]:
+        """Encoded haystack, cached — at 1M-token contexts generating and
+        encoding ~6 MB of filler dominates a cell's host time, and every
+        depth in a context row reuses the identical text."""
+        if getattr(self, "_hay_cache", None) is None or (
+            self._hay_cache[0] != num_chars
+        ):
+            text = load_haystack(self.cfg.haystack_dir, num_chars)
+            self._hay_cache = (num_chars, self._encode(text))
+        return self._hay_cache[1]
+
     def _encode(self, text: str) -> List[int]:
         """Encode a prompt PIECE: strip the tokenizer's leading BOS so
         concatenation does not scatter sink anchors mid-sequence."""
@@ -123,8 +134,7 @@ class NIAHTester:
         """Token-budgeted haystack with the needle inserted at depth%;
         one BOS leads the sequence (the attention-sink anchor)."""
         # ~4 chars/token is a safe overestimate for byte/BPE tokenizers
-        text = load_haystack(self.cfg.haystack_dir, ctx_len * 6)
-        hay_ids = self._encode(text)
+        hay_ids = self._haystack_ids(ctx_len * 6)
         q_ids = self._encode(self.cfg.question)
         needle_ids = self._encode(self.cfg.needle)
         bos = getattr(self.tokenizer, "bos_token_id", None)
@@ -263,6 +273,13 @@ def main():
     p.add_argument("--haystack-dir", default=None)
     p.add_argument("--output-dir", default="niah_results")
     p.add_argument("--simulation-tokens", type=int, default=0)
+    p.add_argument("--w8a8", action="store_true",
+                   help="quantize weights to W8A8 after reordering — the "
+                   "flagship serving stack (reference demo path, "
+                   "demo/run_duo_w8a8kv4.py:83-206)")
+    p.add_argument("--kv-quant", choices=["none", "int4"], default="none",
+                   help="KV-cache quantization (int4 = the KV4 half of "
+                   "the flagship W8A8KV4 stack)")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel over N devices (head-sharded KV; "
@@ -275,18 +292,21 @@ def main():
     args = p.parse_args()
 
     needle, question, answer = None, None, None
-    if args.model == "constructed":
+    if args.model in ("constructed", "constructed-long"):
         # The hand-built retrieval circuit (models/constructed.py): the
         # offline counterpart of the reference's real-checkpoint NIAH runs
         # (needle_in_haystack.py:183-221) — its known retrieval heads make
         # the depth x context grid MEANINGFUL (trained pattern keeps
         # retrieval at every depth; nothing else in this environment can).
-        from ..models.constructed import CONSTRUCTED_LM, build_params
+        # 'constructed-long' is the 4.2M-range variant (LONG_SPEC) — the
+        # counterpart of the reference's 1M NIAH (scripts/run_niah.sh:2-8).
+        from ..models.constructed import build_params, spec_for
         from ..train.data import _CODE_WORDS, _NAMES
 
-        cfg = CONSTRUCTED_LM
+        spec = spec_for(args.model)
+        cfg = spec.model_config()
         args.tokenizer = "word"
-        params = build_params(get_tokenizer("word"))
+        params = build_params(get_tokenizer("word"), spec=spec)
         # needle/question in the circuit's passkey grammar (train/data.py
         # format); haystack words are disjoint from the code words.
         name, code = _NAMES[7], " ".join(_CODE_WORDS[9:12])
@@ -309,6 +329,11 @@ def main():
         params, nf = reorder_params(params, cfg, heads)
     else:
         nf = (round(cfg.num_kv_heads * (1 - args.sparsity)),) * cfg.num_layers
+    if args.w8a8:
+        from ..ops.quant import quantize_params_w8a8
+
+        # quantized AFTER reordering, exactly like a real deployment
+        params = quantize_params_w8a8(params)
     duo = DuoConfig(
         sink_size=sink,
         recent_size=recent,
@@ -317,13 +342,15 @@ def main():
         prefill_chunk_size=args.prefill_chunk,
     )
     # the constructed circuit's score margins are built at f32
-    dtype = jnp.float32 if args.model == "constructed" else jnp.bfloat16
+    dtype = (jnp.float32 if args.model.startswith("constructed")
+             else jnp.bfloat16)
     if args.tp:
         from ..parallel.mesh import build_mesh, shard_params
 
         mesh = build_mesh(args.tp, data=1)
         params = shard_params(mesh, cfg, params)
-        engine = DuoEngine(params, cfg, duo, mesh=mesh, dtype=dtype)
+        engine = DuoEngine(params, cfg, duo, mesh=mesh, dtype=dtype,
+                           kv_quant=args.kv_quant)
     elif args.pp:
         import jax as _jax
 
@@ -332,11 +359,15 @@ def main():
         assert args.simulation_tokens == 0, (
             "--pp supports generate-mode only (no per-token simulation)"
         )
+        assert not args.w8a8 and args.kv_quant == "none", (
+            "--pp NIAH runs unquantized"
+        )
         engine = PipelinedEngine(
             params, cfg, duo, devices=_jax.devices()[: args.pp], dtype=dtype
         )
     else:
-        engine = DuoEngine(params, cfg, duo, dtype=dtype)
+        engine = DuoEngine(params, cfg, duo, dtype=dtype,
+                           kv_quant=args.kv_quant)
     tokenizer = get_tokenizer(args.tokenizer)
     kw = {}
     if needle is not None:

@@ -38,7 +38,7 @@ from ..cache import (
 from ..config import DuoConfig, ModelConfig
 from ..ops.attention_ref import masked_attention
 from ..ops.norm import rms_norm
-from ..ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
+from ..ops.rope import apply_rope, rope_tables
 
 Params = Dict[str, Any]
 
@@ -458,8 +458,7 @@ def forward_chunk(
         positions = cache.length[:, None] + jnp.arange(S, dtype=jnp.int32)
     else:
         positions = cache.length + jnp.arange(S, dtype=jnp.int32)
-    inv_freq = rope_inv_freq(cfg)
-    cos, sin = rope_cos_sin(inv_freq, positions)  # [S, D] or [B, S, D]
+    cos, sin = rope_tables(cfg, positions)  # [S, D] or [B, S, D]
     if cos.ndim == 2:
         cos, sin = cos[None], sin[None]
 
@@ -582,7 +581,7 @@ def forward_two_way(
     else:
         offset = 0
     positions = offset + jnp.arange(S, dtype=jnp.int32)
-    cos, sin = rope_cos_sin(rope_inv_freq(cfg), positions)
+    cos, sin = rope_tables(cfg, positions)
     lam = lambda_mask_fn(sink_size, recent_size)
 
     def full_attn(q, k, v):
@@ -664,7 +663,7 @@ def forward_full_attention(
 
     B, S = input_ids.shape
     positions = jnp.arange(S, dtype=jnp.int32)
-    cos, sin = rope_cos_sin(rope_inv_freq(cfg), positions)
+    cos, sin = rope_tables(cfg, positions)
     x = embed_lookup(params, input_ids)
     for layer in params["layers"]:
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)

@@ -56,6 +56,77 @@ def rope_cos_sin(inv_freq: jnp.ndarray, positions: jnp.ndarray):
     return jnp.cos(angles), jnp.sin(angles)
 
 
+# Split radix for the precise phase path: positions factor as
+# pos = 2^12 q + r with q, r exact in f32 for any pos < 2^36.
+_SPLIT = 4096
+
+
+def _inv_freq64(cfg: ModelConfig):
+    """Host-side float64 inverse frequencies (+ scaling), for the precise
+    phase tables. cfg is static under jit, so this folds to constants."""
+    import numpy as np
+
+    dim = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
+    )
+    rs: RopeScaling = cfg.rope_scaling
+    if rs.rope_type == "linear":
+        inv_freq = inv_freq / rs.factor
+    elif rs.rope_type == "llama3":
+        low_freq_wavelen = rs.original_max_position_embeddings / rs.low_freq_factor
+        high_freq_wavelen = rs.original_max_position_embeddings / rs.high_freq_factor
+        wavelen = 2 * np.pi / inv_freq
+        smooth = (rs.original_max_position_embeddings / wavelen - rs.low_freq_factor) / (
+            rs.high_freq_factor - rs.low_freq_factor
+        )
+        smoothed = (1 - smooth) * inv_freq / rs.factor + smooth * inv_freq
+        inv_freq = np.where(
+            wavelen > low_freq_wavelen,
+            inv_freq / rs.factor,
+            np.where(wavelen < high_freq_wavelen, inv_freq, smoothed),
+        )
+    return inv_freq
+
+
+def rope_cos_sin_precise(cfg: ModelConfig, positions: jnp.ndarray):
+    """High-precision cos/sin tables for long contexts (f32-only hardware).
+
+    The plain path computes angle = f32(w) * f32(pos); both the rounding
+    of w and of the product carry relative error ~2^-24, i.e. ABSOLUTE
+    phase error growing linearly in the angle — ~0.5 rad at 4M tokens for
+    a pair with w=1, which randomizes high-frequency channels long before
+    the 1M+ contexts this framework serves (the reference's CUDA fp32
+    rope has the same failure mode; TPUs additionally lack fast f64).
+
+    Range-reduce instead with a split product, in f64 ON HOST (cfg is
+    static, so the tables constant-fold):
+        pos = 4096 q + r,  w_hi = (4096 w) mod 2pi  (f64 -> f32)
+        angle = (q * w_hi) mod 2pi + r * w
+    Every intermediate stays < ~4100 rad, so f32 rounding contributes
+    ~5e-4 rad at any position < 2^36 — three orders of magnitude better
+    where it matters, identical layout/semantics otherwise.
+    """
+    import numpy as np
+
+    w64 = _inv_freq64(cfg)
+    w_hi = jnp.asarray(np.mod(_SPLIT * w64, 2 * np.pi), jnp.float32)
+    w_lo = jnp.asarray(w64, jnp.float32)
+    two_pi = jnp.float32(2 * np.pi)
+    q = (positions // _SPLIT).astype(jnp.float32)[..., None]
+    r = (positions % _SPLIT).astype(jnp.float32)[..., None]
+    angles = jnp.mod(q * w_hi, two_pi) + r * w_lo  # [..., dim/2]
+    angles = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def rope_tables(cfg: ModelConfig, positions: jnp.ndarray):
+    """cos/sin tables for a config: precise path iff cfg.rope_precise."""
+    if cfg.rope_precise:
+        return rope_cos_sin_precise(cfg, positions)
+    return rope_cos_sin(rope_inv_freq(cfg), positions)
+
+
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
@@ -82,8 +153,7 @@ def apply_rope_at_offset(q, k, cfg: ModelConfig, offset):
     Equivalent role to FlashInfer's apply_rope_inplace with per-batch
     position offsets (duo_attn/patch/flashinfer_utils.py:29-59).
     """
-    inv_freq = rope_inv_freq(cfg)
     seq = q.shape[1]
     positions = offset + jnp.arange(seq, dtype=jnp.int32)  # [S]
-    cos, sin = rope_cos_sin(inv_freq, positions)  # [S, D]
+    cos, sin = rope_tables(cfg, positions)  # [S, D]
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin)

@@ -397,12 +397,13 @@ def main():
     p.add_argument("--wandb-project", default="duo-attention-tpu")
     args = p.parse_args()
 
-    if args.model == "constructed":
-        from ..models.constructed import CONSTRUCTED_LM, build_params
+    if args.model in ("constructed", "constructed-long"):
+        from ..models.constructed import build_params, spec_for
 
-        mcfg = CONSTRUCTED_LM
+        spec = spec_for(args.model)
+        mcfg = spec.model_config()
         args.tokenizer = "word"
-        params = build_params(get_tokenizer("word"))
+        params = build_params(get_tokenizer("word"), spec=spec)
     else:
         mcfg = PRESETS[args.model]
         params = llama.init_params(mcfg, jax.random.PRNGKey(0))
