@@ -345,6 +345,15 @@ def dryrun_step(n_devices: int) -> None:
     )
     assert pp_tokens.shape == (1, 2)
 
+    # TP token-equivalence on this GQA config: the tp=4-sharded engine
+    # must GENERATE the same tokens as the single-device engine (beyond
+    # the finite-logits check of the 1M dryrun below).
+    dryrun_tp_equivalence(n_devices, cfg, duo)
+
+    # Trained-pattern NIAH cell: single-device == tensor-parallel tokens
+    # through the real retrieval circuit and its TRAINED gate pattern.
+    dryrun_tp_niah_cell(n_devices)
+
     # Training step (dp × sp with Ulysses all-to-all) — if available.
     try:
         from ..train.trainer import dryrun_train_step
@@ -354,6 +363,104 @@ def dryrun_step(n_devices: int) -> None:
 
     # 1M-token-context sharded decode (the BASELINE.json per-host target).
     dryrun_1m_decode(n_devices)
+
+
+def dryrun_tp_equivalence(n_devices: int, cfg, duo) -> None:
+    """Sharded == unsharded GENERATION on the dryrun GQA config (tp=4).
+
+    The reference runs NIAH under GPU tensor parallelism
+    (needle_in_haystack.py:213-214); here the check is exact token
+    equality over a 16-token greedy decode, single device vs a
+    (data=1, tensor=4) mesh."""
+    from ..engine import DuoEngine
+    from ..models import llama
+
+    tensor = 4 if n_devices >= 4 else n_devices
+    params = llama.init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(3), (1, 48), 0,
+                           cfg.vocab_size)
+    ).astype(np.int32)
+    eng1 = DuoEngine(params, cfg, duo, dtype=jnp.float32)
+    t1, _ = eng1.generate(prompt, max_new_tokens=16)
+    mesh = build_mesh(tensor, data=1)
+    sharded = shard_params(mesh, cfg, params)
+    eng_tp = DuoEngine(sharded, cfg, duo, mesh=mesh, dtype=jnp.float32)
+    t_tp, _ = eng_tp.generate(prompt, max_new_tokens=16)
+    assert np.array_equal(np.asarray(t1), np.asarray(t_tp)), (
+        "tp-sharded generation diverged from single-device:\n"
+        f"{np.asarray(t1)} vs {np.asarray(t_tp)}"
+    )
+    print(f"[dryrun] tp={tensor} generation == single-device "
+          f"(16 greedy tokens)", flush=True)
+
+
+def dryrun_tp_niah_cell(n_devices: int) -> None:
+    """One trained-pattern NIAH cell, single-device vs tensor-parallel.
+
+    Uses the constructed retrieval circuit with the COMMITTED trained
+    gate pattern (artifacts/accuracy_loop/pattern). tp=2: at sparsity
+    0.5 the trained pattern keeps the 2 known retrieval heads full, and
+    head-sharding must divide that axis (the 4-kv-head circuit cannot
+    split 2 full heads 4 ways). Asserts byte-equal responses AND that
+    the needle actually comes back (score 1.0) both ways."""
+    import os
+
+    from ..engine import DuoEngine
+    from ..config import DuoConfig
+    from ..evals.niah import NIAHConfig, NIAHTester
+    from ..models.constructed import BASE_SPEC, build_params
+    from ..models.convert import reorder_params
+    from ..patterns import load_attn_pattern, sparsify_attention_heads
+    from ..tokenizer import get_tokenizer
+    from ..train.data import _CODE_WORDS, _NAMES
+
+    if n_devices < 2:
+        return
+    pattern_dir = os.path.join(
+        os.path.dirname(__file__), "..", "..",
+        "artifacts", "accuracy_loop", "pattern",
+    )
+    if not os.path.isdir(pattern_dir):
+        print("[dryrun] trained pattern dir missing; skipping NIAH cell",
+              flush=True)
+        return
+    tok = get_tokenizer("word")
+    params = build_params(tok, spec=BASE_SPEC)
+    cfg = BASE_SPEC.model_config()
+    heads, sink, recent = load_attn_pattern(pattern_dir)
+    binary, _ = sparsify_attention_heads(heads, sparsity=0.5)
+    params, nf = reorder_params(params, cfg, binary)
+    duo = DuoConfig(sink_size=int(sink), recent_size=int(recent),
+                    num_full_kv_heads=nf, max_cache_size=8192,
+                    prefill_chunk_size=1024)
+
+    name, code = _NAMES[3], " ".join(_CODE_WORDS[4:7])
+    niah_cfg = NIAHConfig(
+        context_lengths=[4096], depth_percents=[50.0],
+        needle=f" Remember this: the secret code of {name} is {code}. ",
+        question=f"\nQuestion: the secret code of {name} is",
+        answer=code, gen_tokens=len(code.split()) + 2,
+        output_dir="/tmp/dryrun_niah_sd", resume=False,
+    )
+    eng1 = DuoEngine(params, cfg, duo, dtype=jnp.float32)
+    r1 = NIAHTester(eng1, tok, niah_cfg).run_cell(4096, 50.0)
+
+    mesh = build_mesh(2, data=1)
+    sharded = shard_params(mesh, cfg, params)
+    eng_tp = DuoEngine(sharded, cfg, duo, mesh=mesh, dtype=jnp.float32)
+    niah_cfg_tp = NIAHConfig(
+        context_lengths=[4096], depth_percents=[50.0],
+        needle=niah_cfg.needle, question=niah_cfg.question,
+        answer=code, gen_tokens=niah_cfg.gen_tokens,
+        output_dir="/tmp/dryrun_niah_tp", resume=False,
+    )
+    r2 = NIAHTester(eng_tp, tok, niah_cfg_tp).run_cell(4096, 50.0)
+    assert r1["response"] == r2["response"], (r1, r2)
+    assert r1["word_overlap"] == 1.0, r1
+    print(f"[dryrun] trained-pattern NIAH cell: tp=2 == single-device, "
+          f"overlap {r1['word_overlap']:.1f} (response "
+          f"{r1['response']!r})", flush=True)
 
 
 def dryrun_1m_decode(n_devices: int, ctx: int = 1 << 20) -> None:
