@@ -253,6 +253,10 @@ def main():
         sparsify_attention_heads,
     )
 
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     p = argparse.ArgumentParser(description="NIAH evaluation")
     p.add_argument("--model", default="tiny-gqa",
                    help="preset name, 'constructed' (the hand-built "
