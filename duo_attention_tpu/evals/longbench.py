@@ -111,12 +111,17 @@ def predict_task(
     out_path: str,
     simulation_tokens: int = 50,
     max_samples: Optional[int] = None,
+    stop_ids: tuple = (),
 ):
     """Greedy predictions for one task, JSONL output (resume by line count).
 
     simulation_tokens: feed the last N prompt tokens through the decode
     path one-by-one so streaming-cache eviction affects the state exactly
-    as in deployment (reference: pred.py:125-142)."""
+    as in deployment (reference: pred.py:125-142).
+    stop_ids: EOS-equivalent token ids — generation output is truncated at
+    the first occurrence (the reference trims after the tokenizer's EOS,
+    pred.py:152-154; the constructed circuit's end-of-answer marker is
+    '.', passed via --stop-text)."""
     done = 0
     if os.path.exists(out_path):
         with open(out_path, encoding="utf-8") as f:
@@ -153,7 +158,13 @@ def predict_task(
                 )
             else:
                 tokens, _ = engine.generate(arr, gen_len)
-            pred = decode_ids(tokenizer, tokens[0])
+            out_ids = list(np.asarray(tokens[0]))
+            if stop_ids:
+                for k, t in enumerate(out_ids):
+                    if int(t) in stop_ids:
+                        out_ids = out_ids[:k]
+                        break
+            pred = decode_ids(tokenizer, out_ids)
             rec = {
                 "pred": pred,
                 "answers": sample.get("answers", []),
@@ -253,6 +264,11 @@ def main():
     p.add_argument("--simulation-tokens", type=int, default=50,
                    help="feed the last N prompt tokens through the "
                    "decode path (reference protocol, pred.py:125-142)")
+    p.add_argument("--stop-text", default=None,
+                   help="EOS-equivalent text: truncate generations at its "
+                   "first token (the constructed circuit ends answers "
+                   "with '.'; real models use their tokenizer EOS, "
+                   "reference pred.py:152-154)")
     args = p.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -290,7 +306,7 @@ def main():
             prefill_chunk_size=args.prefill_chunk,
         )
         # the constructed circuit's score margins are built at f32
-        dtype = (jnp.float32 if args.model == "constructed"
+        dtype = (jnp.float32 if args.model.startswith("constructed")
                  else jnp.bfloat16)
         if args.tp:
             from ..parallel.mesh import build_mesh, shard_params
@@ -314,6 +330,11 @@ def main():
         else:
             engine = DuoEngine(params, cfg, duo, dtype=dtype)
         tokenizer = get_tokenizer(args.tokenizer)
+        stop_ids = ()
+        if args.stop_text:
+            stop_ids = tuple(
+                encode_ids(tokenizer, args.stop_text)[-1:]
+            )
         for task in args.tasks:
             data = load_task_data(task, args.data_dir, args.e_split)
             out_path = os.path.join(args.out_dir, f"{task}.jsonl")
@@ -321,6 +342,7 @@ def main():
                 engine, tokenizer, task, data, args.max_prompt_len, out_path,
                 simulation_tokens=args.simulation_tokens,
                 max_samples=args.max_samples,
+                stop_ids=stop_ids,
             )
     for task in args.tasks:
         out_path = os.path.join(args.out_dir, f"{task}.jsonl")

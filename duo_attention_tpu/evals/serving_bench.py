@@ -1,0 +1,227 @@
+"""Hardware benchmark for the continuous-batching ServingEngine.
+
+The repo's central beyond-reference claim (PARITY.md) is the serving
+engine — this driver turns it from unit-tested into MEASURED (VERDICT r3
+missing #3): mixed prompt lengths through the flagship W8A8KV4 stack on
+the real chip, admission chunks interleaving with decode bursts, slot
+reuse (more requests than slots), recording
+
+  * aggregate decode tokens/s and per-request TTFT,
+  * per-token latency percentiles (p50/p90/p99 — each decode burst's
+    wall time is attributed across the tokens it produced),
+  * the admission-stall distribution (time a scheduler iteration spent
+    prefilling one chunk — the Sarathi-style bounded stall),
+  * the full timestamped scheduler trace.
+
+Run (defaults sized for the 16 GB v5e):
+    python -m duo_attention_tpu.evals.serving_bench \
+        --out-dir artifacts/serving
+
+The driver replicates ServingEngine.step()'s documented two-phase loop
+(serving.py:234-248) inline so each phase can be timed without touching
+engine internals' behavior.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DuoConfig
+from ..serving import Request, ServingEngine
+
+
+def percentile(xs, p):
+    return float(np.percentile(np.asarray(xs), p)) if xs else None
+
+
+def run_bench(args) -> dict:
+    from ..ops.quant import init_params_w8a8_random
+    from ..utils import enable_compilation_cache
+    import bench as _b  # model_cfg + device wait live at the repo root
+
+    enable_compilation_cache()
+    _b._require_device(budget_s=args.device_budget_s)
+    if args.preset:  # smoke-test geometry (CPU-sized)
+        from ..config import PRESETS
+
+        cfg = PRESETS[args.preset]
+    else:
+        cfg = _b.model_cfg(args.layers)
+    prompt_lens = [int(x) for x in args.prompt_lens.split(",")]
+    # rounded UP to an 8192 multiple: non-divisible buffers silently fall
+    # back to small INT4 DMA blocks (CLAUDE.md invariant)
+    max_cache = -(-(max(prompt_lens) + args.headroom) // 8192) * 8192
+    num_full = round(cfg.num_kv_heads * (1 - args.sparsity))
+    duo = DuoConfig(
+        sink_size=64,
+        recent_size=256,
+        num_full_kv_heads=(num_full,) * cfg.num_layers,
+        max_cache_size=max_cache,
+        prefill_chunk_size=args.prefill_chunk,
+    )
+    params = init_params_w8a8_random(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    print(f"[serving] params ready; pool B={args.slots}, "
+          f"max_cache={max_cache}", flush=True)
+    engine = ServingEngine(
+        params, cfg, duo, max_batch_size=args.slots,
+        kv_quant="int4", decode_burst=args.decode_burst,
+    )
+    from ..cache import kv_memory_bytes
+
+    pool_kv = kv_memory_bytes(engine.cache)
+    print(f"[serving] pool KV {pool_kv / 1e9:.2f} GB "
+          f"({pool_kv / args.slots / 1e9:.2f} GB/slot)", flush=True)
+
+    rng = np.random.default_rng(0)
+    reqs = []
+    for rid, plen in enumerate(prompt_lens):
+        ids = rng.integers(10, cfg.vocab_size - 10, plen, dtype=np.int32)
+        r = Request(rid=rid, prompt_ids=ids, max_new_tokens=args.max_new)
+        reqs.append(r)
+        engine.submit(r)
+
+    # -- instrumented scheduler loop (mirrors ServingEngine.step) ----------
+    submit_t = time.monotonic()
+    events = []            # (t_rel, kind, arg, dur_s)
+    ttft = {}              # rid -> seconds from submit to first token
+    token_lat = []         # per-token latency samples (s)
+    admit_stalls = []      # per-iteration admission time (s)
+    gen_counts = {r.rid: 0 for r in reqs}
+    it = 0
+    warm_done = False
+    while engine.pending or engine._admitting or any(engine.slots):
+        it += 1
+        assert it < 100_000, "scheduler stalled"
+        t0 = time.monotonic()
+        if engine._admitting is not None:
+            engine._admit_chunk()
+        else:
+            free = [i for i, r in enumerate(engine.slots) if r is None]
+            if engine.pending and free:
+                req = engine.pending.pop(0)
+                engine._admitting = (req, free[0], None, 0)
+                engine._admit_chunk()
+        t1 = time.monotonic()
+        if t1 - t0 > 1e-4:
+            admit_stalls.append(t1 - t0)
+            events.append((t0 - submit_t, "admit",
+                           engine.trace[-1][1], t1 - t0))
+        for r in reqs:  # first token lands during admission
+            if r.rid not in ttft and r.generated:
+                ttft[r.rid] = t1 - submit_t
+        live = [r for r in engine.slots if r is not None]
+        if live:
+            before = {r.rid: len(r.generated) for r in live}
+            t2 = time.monotonic()
+            engine._decode_step()
+            t3 = time.monotonic()
+            produced = 0
+            for r in live:
+                produced += len(r.generated) - before[r.rid]
+            if produced:
+                # skip the compile/dispatch-warmup bursts in the latency
+                # distribution (they are visible in the trace/events)
+                if warm_done:
+                    token_lat += [(t3 - t2) / (produced / len(live))] * produced
+                else:
+                    warm_done = True
+            events.append((t2 - submit_t, "decode", produced, t3 - t2))
+    wall = time.monotonic() - submit_t
+
+    total_tokens = sum(len(r.generated) for r in engine.finished)
+    decode_time = sum(d for _, k, _, d in events if k == "decode")
+    report = {
+        "config": {
+            "layers": cfg.num_layers,
+            "quant": "w8a8 + int4 kv",
+            "sparsity": args.sparsity,
+            "slots": args.slots,
+            "decode_burst": args.decode_burst,
+            "prompt_lens": prompt_lens,
+            "max_new_tokens": args.max_new,
+            "max_cache_size": max_cache,
+            "prefill_chunk": args.prefill_chunk,
+            "pool_kv_gb": round(pool_kv / 1e9, 3),
+        },
+        "aggregate": {
+            "requests": len(reqs),
+            "total_generated_tokens": total_tokens,
+            "wall_s": round(wall, 3),
+            "tok_s_wall": round(total_tokens / wall, 2),
+            "decode_time_s": round(decode_time, 3),
+            "tok_s_decode_only": round(total_tokens / decode_time, 2)
+            if decode_time else None,
+            "scheduler_iterations": it,
+        },
+        "per_token_latency_s": {
+            "p50": percentile(token_lat, 50),
+            "p90": percentile(token_lat, 90),
+            "p99": percentile(token_lat, 99),
+            "n": len(token_lat),
+        },
+        "admission_stall_s": {
+            "count": len(admit_stalls),
+            "p50": percentile(admit_stalls, 50),
+            "p90": percentile(admit_stalls, 90),
+            "max": max(admit_stalls) if admit_stalls else None,
+        },
+        "requests": [
+            {
+                "rid": r.rid,
+                "prompt_len": r.prompt_len,
+                "generated": len(r.generated),
+                "ttft_s": round(ttft[r.rid], 3),
+            }
+            for r in sorted(engine.finished, key=lambda r: r.rid)
+        ],
+        "trace": [
+            {"t": round(t, 3), "event": k, "arg": int(a),
+             "dur_s": round(d, 4)}
+            for t, k, a, d in events
+        ],
+    }
+    return report
+
+
+def main():
+    p = argparse.ArgumentParser(description="ServingEngine hardware bench")
+    p.add_argument("--layers", type=int, default=32)
+    p.add_argument("--preset", default=None,
+                   help="use a PRESETS config instead of the 8B geometry "
+                   "(CPU smoke testing)")
+    p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--sparsity", type=float, default=0.5)
+    p.add_argument("--decode-burst", type=int, default=16)
+    p.add_argument("--max-new", type=int, default=96)
+    p.add_argument("--prefill-chunk", type=int, default=8192)
+    p.add_argument("--headroom", type=int, default=8192)
+    p.add_argument("--prompt-lens", default=(
+        "2048,4096,8192,12288,16384,24576,32768,49152"))
+    p.add_argument("--device-budget-s", type=int, default=460)
+    p.add_argument("--out-dir", default="artifacts/serving")
+    args = p.parse_args()
+    report = run_bench(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+    path = os.path.join(args.out_dir, "report.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    agg = report["aggregate"]
+    lat = report["per_token_latency_s"]
+    print(f"[serving] {agg['requests']} requests, "
+          f"{agg['total_generated_tokens']} tokens in {agg['wall_s']}s "
+          f"({agg['tok_s_wall']} tok/s wall, {agg['tok_s_decode_only']} "
+          f"decode-only) | per-token p50={lat['p50']:.4f}s "
+          f"p99={lat['p99']:.4f}s | report -> {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
