@@ -227,7 +227,10 @@ def _w8a8_linear_ste(x, wq, w_scale, out_dtype_token):
 
 def _w8a8_linear_ste_fwd(x, wq, w_scale, out_dtype_token):
     out = _w8a8_linear_impl(x, wq, w_scale, out_dtype_token.dtype)
-    return out, (wq, w_scale, x.dtype)
+    # x's dtype rides as a zero-size token too: a raw np.dtype residual is
+    # not a valid pytree leaf once jax.checkpoint threads the residuals
+    # (per-layer remat over W8A8 layers hits exactly that).
+    return out, (wq, w_scale, jnp.zeros((0,), x.dtype))
 
 
 def _w8a8_linear_ste_bwd(res, g):
@@ -241,14 +244,14 @@ def _w8a8_linear_ste_bwd(res, g):
 
     from jax import dtypes
 
-    wq, w_scale, x_dtype = res
+    wq, w_scale, x_token = res
     gf = g.astype(jnp.float32) * w_scale  # fold per-out-channel scale
     dx = jax.lax.dot_general(
         gf.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
         (((gf.ndim - 1,), (1,)), ((), ())),
     )
     return (
-        dx.astype(x_dtype),
+        dx.astype(x_token.dtype),
         np.zeros(wq.shape, dtype=dtypes.float0),  # int8: float0 cotangent
         jnp.zeros_like(w_scale),
         jnp.zeros((0,), g.dtype),  # the dtype token

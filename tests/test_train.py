@@ -169,6 +169,34 @@ def test_fsdp_remat_step_matches_no_remat(tmp_path):
     np.testing.assert_allclose(results[True][1], results[False][1], atol=2e-5)
 
 
+def test_remat_composes_with_w8a8_ste(tiny):
+    """Per-layer jax.checkpoint over W8A8 layers: the STE's residuals must
+    be valid pytree leaves (regression: a raw np.dtype residual broke
+    remat with 'not a valid JAX type'), and gate gradients still flow
+    at gates < 1 (at the init 1.0 the student IS the teacher, so the
+    distill gradient is legitimately zero there)."""
+    from duo_attention_tpu.ops.quant import quantize_layer_weights
+
+    cfg, params = tiny
+    qparams = dict(params)
+    qparams["layers"] = tuple(
+        quantize_layer_weights(dict(l)) for l in params["layers"]
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(9), (1, 64), 0,
+                             cfg.vocab_size)
+    gates = jnp.full((cfg.num_layers, cfg.num_kv_heads), 0.5, jnp.float32)
+
+    def loss(g):
+        t, s = llama.forward_two_way(
+            qparams, g, cfg, 8, 16, ids, block_k=32, remat=True
+        )
+        return jnp.mean((t - s) ** 2)
+
+    val, grad = jax.value_and_grad(loss)(gates)
+    assert np.isfinite(float(val))
+    assert float(jnp.abs(grad).sum()) > 0
+
+
 def test_ulysses_roundtrip():
     from duo_attention_tpu.parallel.ulysses import head_to_seq, seq_to_head
     from jax.sharding import Mesh, PartitionSpec as P
