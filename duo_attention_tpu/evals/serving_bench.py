@@ -81,12 +81,37 @@ def run_bench(args) -> dict:
     print(f"[serving] pool KV {pool_kv / 1e9:.2f} GB "
           f"({pool_kv / args.slots / 1e9:.2f} GB/slot)", flush=True)
 
-    rng = np.random.default_rng(0)
-    reqs = []
-    for rid, plen in enumerate(prompt_lens):
-        ids = rng.integers(10, cfg.vocab_size - 10, plen, dtype=np.int32)
-        r = Request(rid=rid, prompt_ids=ids, max_new_tokens=args.max_new)
-        reqs.append(r)
+    def make_requests():
+        rng = np.random.default_rng(0)
+        reqs = []
+        for rid, plen in enumerate(prompt_lens):
+            ids = rng.integers(10, cfg.vocab_size - 10, plen,
+                               dtype=np.int32)
+            reqs.append(Request(rid=rid, prompt_ids=ids,
+                                max_new_tokens=args.max_new))
+        return reqs
+
+    # Warmup pass: the tunneled runtime takes 15-30 s to LOAD each
+    # program (even from a warm on-disk compile cache), and the scheduler
+    # hits a new (bucket, burst) decode program each time the longest
+    # live sequence crosses a bucket — without this pass those one-time
+    # loads land inside the measured trace as multi-second p99 outliers
+    # that say nothing about the scheduler. Same workload, same engine
+    # object (the jitted-program caches are per-engine), results dropped.
+    warmup_s = None
+    if args.warmup_run:
+        t0 = time.monotonic()
+        for r in make_requests():
+            engine.submit(r)
+        engine.run()
+        warmup_s = time.monotonic() - t0
+        engine.finished.clear()
+        engine.trace.clear()
+        print(f"[serving] warmup pass done in {warmup_s:.1f}s "
+              "(programs resident)", flush=True)
+
+    reqs = make_requests()
+    for r in reqs:
         engine.submit(r)
 
     # -- instrumented scheduler loop (mirrors ServingEngine.step) ----------
@@ -139,6 +164,7 @@ def run_bench(args) -> dict:
 
     total_tokens = sum(len(r.generated) for r in engine.finished)
     decode_time = sum(d for _, k, _, d in events if k == "decode")
+    admit_time = sum(d for _, k, _, d in events if k == "admit")
     report = {
         "config": {
             "layers": cfg.num_layers,
@@ -151,6 +177,7 @@ def run_bench(args) -> dict:
             "max_cache_size": max_cache,
             "prefill_chunk": args.prefill_chunk,
             "pool_kv_gb": round(pool_kv / 1e9, 3),
+            "warmup_run_s": round(warmup_s, 1) if warmup_s else None,
         },
         "aggregate": {
             "requests": len(reqs),
@@ -160,6 +187,9 @@ def run_bench(args) -> dict:
             "decode_time_s": round(decode_time, 3),
             "tok_s_decode_only": round(total_tokens / decode_time, 2)
             if decode_time else None,
+            "prefill_tokens": int(sum(prompt_lens)),
+            "prefill_tok_s": round(sum(prompt_lens) / admit_time, 1)
+            if admit_time else None,
             "scheduler_iterations": it,
         },
         "per_token_latency_s": {
@@ -202,10 +232,17 @@ def main():
     p.add_argument("--sparsity", type=float, default=0.5)
     p.add_argument("--decode-burst", type=int, default=16)
     p.add_argument("--max-new", type=int, default=96)
-    p.add_argument("--prefill-chunk", type=int, default=8192)
+    # 4096, not the engine-default 8192: the admission's B=1 prefill cache
+    # + per-layer chunk staging must share the chip with the B=slots pool
+    # AND the 8 GB int8 weights (chunk 8192 OOMs a 16 GB chip here)
+    p.add_argument("--prefill-chunk", type=int, default=4096)
     p.add_argument("--headroom", type=int, default=8192)
     p.add_argument("--prompt-lens", default=(
         "2048,4096,8192,12288,16384,24576,32768,49152"))
+    p.add_argument("--no-warmup-run", dest="warmup_run",
+                   action="store_false", default=True,
+                   help="skip the un-instrumented warmup pass (program "
+                   "load times then pollute the measured trace)")
     p.add_argument("--device-budget-s", type=int, default=460)
     p.add_argument("--out-dir", default="artifacts/serving")
     args = p.parse_args()
