@@ -206,7 +206,7 @@ def headline_serving(params, cfg):
         f"{duo_agg/full_agg:.2f}x at matched precision + matched KV HBM "
         f"(mean-after-warmup; best-of: duo {duo_best * b_duo:.1f} vs "
         f"full {full_best * b_full:.1f} agg tok/s, "
-        f"{duo_best / full_best:.2f}x)",
+        f"{duo_best * b_duo / (full_best * b_full):.2f}x)",
         file=sys.stderr, flush=True,
     )
     report_kv_reduction(params, cfg, ctx_len, duo_kv / b_duo,

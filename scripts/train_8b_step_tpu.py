@@ -84,6 +84,41 @@ def main():
         "ctx": args.ctx, "batch": 1, "remat": True,
         "block_k": args.block_k, "steps": [],
     }
+
+    def xla_memory_analysis():
+        """Peak-memory evidence from the compiled step program itself
+        (the axon runtime does not expose device.memory_stats(); XLA's
+        buffer-assignment totals are exact for a static program). Lower
+        +compile hits the persistent cache after the first real step."""
+        ids_j = jnp.asarray(ids)
+        lb = np.concatenate(
+            [labels[:, 1:],
+             np.full((labels.shape[0], 1), IGNORE_INDEX, labels.dtype)],
+            axis=1)
+        compiled = trainer._step_fn.lower(
+            trainer.gates, trainer.opt_state, trainer.params, ids_j,
+            jnp.asarray(lb)).compile()
+        ma = compiled.memory_analysis()
+        fields = {}
+        for k in ("argument_size_in_bytes", "output_size_in_bytes",
+                  "temp_size_in_bytes", "alias_size_in_bytes",
+                  "generated_code_size_in_bytes"):
+            v = getattr(ma, k, None)
+            if v is not None:
+                fields[k] = int(v)
+        if fields:
+            live = (fields.get("argument_size_in_bytes", 0)
+                    + fields.get("output_size_in_bytes", 0)
+                    + fields.get("temp_size_in_bytes", 0)
+                    - fields.get("alias_size_in_bytes", 0))
+            fields["peak_estimate_bytes"] = live
+            print(f"[8b-step] XLA buffers: args "
+                  f"{fields.get('argument_size_in_bytes', 0)/2**30:.2f} GiB "
+                  f"(weights+opt) + temp "
+                  f"{fields.get('temp_size_in_bytes', 0)/2**30:.2f} GiB "
+                  f"(activations) -> peak ~{live/2**30:.2f} GiB "
+                  f"of the 16 GiB chip", flush=True)
+        return fields
     for i in range(args.steps):
         ts = time.monotonic()
         loss, distill, reg = trainer.train_step(ids, labels)
@@ -100,14 +135,20 @@ def main():
               f"distill={float(distill):.5f} wall={dur:.1f}s "
               f"peak={peak/1e9:.2f} GB", flush=True)
         assert np.isfinite(float(loss)), "non-finite training loss"
+    try:
+        log["xla_memory_analysis"] = xla_memory_analysis()
+    except Exception as e:  # keep the timing evidence even if AOT fails
+        log["xla_memory_analysis"] = {"error": repr(e)}
+        print(f"[8b-step] memory analysis unavailable: {e!r}", flush=True)
     g = np.asarray(trainer.gates)
     log["gates_moved"] = bool((np.abs(g - 1.0) > 1e-6).any())
     log["gates_minmax"] = [float(g.min()), float(g.max())]
     os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "log.json"), "w") as f:
+    out_json = os.path.join(args.out, f"log_ctx{args.ctx}.json")
+    with open(out_json, "w") as f:
         json.dump(log, f, indent=2)
     print(f"[8b-step] gates moved: {log['gates_moved']} "
-          f"range {log['gates_minmax']}; log -> {args.out}/log.json",
+          f"range {log['gates_minmax']}; log -> {out_json}",
           flush=True)
 
 
