@@ -48,6 +48,18 @@ TASK_PROMPTS: Dict[str, str] = {
     "passage_retrieval_zh": "以下是若干段落文字，以及其中一个段落的摘要。请确定给定的摘要出自哪一段。\n\n{context}\n\n下面是一个摘要\n\n{input}\n\n请输入摘要所属段落的编号。答案格式必须是\"段落1\"，\"段落2\"等格式\n\n答案是：",
     "lcc": "Please complete the code given below. \n{context}Next line of code:\n",
     "repobench-p": "Please complete the code given below. \n{context}{input}Next line of code:\n",
+    # Grammar-compatible counterparts of two more official metric
+    # families, for synthesized-data runs (scripts/run_longbench_tpu.sh):
+    # the official passage_retrieval / lcc / repobench templates append a
+    # fixed suffix AFTER {input} ("The answer is: " / "Next line of
+    # code:\n"), which no retrieval-only model can see past — the same
+    # reason passage_count was dropped from the round-3 artifact. These
+    # variants end at bare {input} (like trec/triviaqa/samsum/lsht) but
+    # are scored by the OFFICIAL metric implementations
+    # (eval/LongBench/eval.py:18-40 semantics: retrieval_score,
+    # code_sim_score), so the metric families are exercised end-to-end.
+    "passage_retrieval_style": "Here are numbered paragraphs from an archive. Each paragraph states which entry it holds. Please determine which paragraph answers the question.\n\n{context}\n\n{input}",
+    "codecomp_style": "Please complete the code given below. The following are some examples.\n\n{context}\n\n{input}",
 }
 
 TASK_MAXGEN: Dict[str, int] = {
@@ -57,6 +69,7 @@ TASK_MAXGEN: Dict[str, int] = {
     "vcsum": 512, "trec": 64, "triviaqa": 32, "samsum": 128, "lsht": 64,
     "passage_count": 32, "passage_retrieval_en": 32,
     "passage_retrieval_zh": 32, "lcc": 64, "repobench-p": 64,
+    "passage_retrieval_style": 32, "codecomp_style": 64,
 }
 
 # task -> scorer, matching the reference task-by-task
@@ -76,9 +89,13 @@ TASK_METRIC = {
     "passage_retrieval_en": M.retrieval_score,
     "passage_retrieval_zh": M.retrieval_zh_score,
     "lcc": M.code_sim_score, "repobench-p": M.code_sim_score,
+    "passage_retrieval_style": M.retrieval_score,
+    "codecomp_style": M.code_sim_score,
 }
 
-ALL_TASKS = list(TASK_PROMPTS)
+# the 21 OFFICIAL LongBench tasks (the _style variants are synthetic-data
+# counterparts, run only by explicit --tasks selection)
+ALL_TASKS = [t for t in TASK_PROMPTS if not t.endswith("_style")]
 
 
 def load_task_data(task: str, data_dir: Optional[str], e_split: bool = False):
@@ -269,21 +286,35 @@ def main():
                    "first token (the constructed circuit ends answers "
                    "with '.'; real models use their tokenizer EOS, "
                    "reference pred.py:152-154)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="INT8 weight/activation linears (the flagship "
+                   "serving compute precision)")
+    p.add_argument("--kv-quant", choices=["none", "int4"], default="none",
+                   help="INT4 KV cache (W8A8KV4 with --w8a8)")
     args = p.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
     results = {}
     if not args.score_only:
-        if args.model in ("constructed", "constructed-long"):
+        from ..models.constructed import SPECS as _SPECS
+        if args.model in _SPECS:
             # the hand-built retrieval circuit (models/constructed.py):
             # few-shot tasks whose template ends at {input} (triviaqa) are
-            # in its passkey grammar, so pred quality is meaningful
-            from ..models.constructed import build_params, spec_for
+            # in its passkey grammar, so pred quality is meaningful.
+            # constructed-8b = the circuit grafted into the full Llama-3-8B
+            # geometry, built directly in W8A8 serving form.
+            from ..models.constructed import (
+                build_params, build_params_w8a8, spec_for,
+            )
 
             spec = spec_for(args.model)
             cfg = spec.model_config()
             args.tokenizer = "word"
-            params = build_params(get_tokenizer("word"), spec=spec)
+            if args.model == "constructed-8b":
+                assert args.w8a8, "constructed-8b is built in W8A8 form"
+                params = build_params_w8a8(get_tokenizer("word"), spec=spec)
+            else:
+                params = build_params(get_tokenizer("word"), spec=spec)
         else:
             cfg = PRESETS[args.model]
             params = llama.init_params(cfg, jax.random.PRNGKey(0))
@@ -298,6 +329,11 @@ def main():
             params, nf = reorder_params(params, cfg, heads)
         else:
             nf = (round(cfg.num_kv_heads * (1 - args.sparsity)),) * cfg.num_layers
+        if args.w8a8 and args.model != "constructed-8b":
+            from ..ops.quant import quantize_params_w8a8
+
+            # quantized AFTER reordering, exactly like a real deployment
+            params = quantize_params_w8a8(params)
         duo = DuoConfig(
             sink_size=sink,
             recent_size=recent,
@@ -305,15 +341,18 @@ def main():
             max_cache_size=args.max_cache,
             prefill_chunk_size=args.prefill_chunk,
         )
-        # the constructed circuit's score margins are built at f32
-        dtype = (jnp.float32 if args.model.startswith("constructed")
+        # the small constructed circuits run their score margins at f32;
+        # the 8B graft runs bf16 — the exact flagship serving dtype
+        dtype = (jnp.float32
+                 if args.model in ("constructed", "constructed-long")
                  else jnp.bfloat16)
         if args.tp:
             from ..parallel.mesh import build_mesh, shard_params
 
             mesh = build_mesh(args.tp, data=1)
             params = shard_params(mesh, cfg, params)
-            engine = DuoEngine(params, cfg, duo, mesh=mesh, dtype=dtype)
+            engine = DuoEngine(params, cfg, duo, mesh=mesh, dtype=dtype,
+                               kv_quant=args.kv_quant)
         elif args.pp:
             import jax as _jax
 
@@ -323,12 +362,16 @@ def main():
                 "--pp supports generate-mode only (no per-token "
                 "simulation); pass --simulation-tokens 0"
             )
+            assert not args.w8a8 and args.kv_quant == "none", (
+                "--pp LongBench runs unquantized"
+            )
             engine = PipelinedEngine(
                 params, cfg, duo, devices=_jax.devices()[: args.pp],
                 dtype=dtype,
             )
         else:
-            engine = DuoEngine(params, cfg, duo, dtype=dtype)
+            engine = DuoEngine(params, cfg, duo, dtype=dtype,
+                               kv_quant=args.kv_quant)
         tokenizer = get_tokenizer(args.tokenizer)
         stop_ids = ()
         if args.stop_text:

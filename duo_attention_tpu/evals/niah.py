@@ -296,7 +296,8 @@ def main():
     args = p.parse_args()
 
     needle, question, answer = None, None, None
-    if args.model in ("constructed", "constructed-long"):
+    from ..models.constructed import SPECS as _SPECS
+    if args.model in _SPECS:
         # The hand-built retrieval circuit (models/constructed.py): the
         # offline counterpart of the reference's real-checkpoint NIAH runs
         # (needle_in_haystack.py:183-221) — its known retrieval heads make
@@ -304,13 +305,25 @@ def main():
         # retrieval at every depth; nothing else in this environment can).
         # 'constructed-long' is the 4.2M-range variant (LONG_SPEC) — the
         # counterpart of the reference's 1M NIAH (scripts/run_niah.sh:2-8).
-        from ..models.constructed import build_params, spec_for
+        # 'constructed-8b' grafts the same circuit into the FULL Llama-3-8B
+        # geometry so retrieval accuracy and 8B-scale serving cost are
+        # attested by ONE model (the reference's 3.3M real-checkpoint
+        # demo's role, demo/run_duo_w8a8kv4.py:83-206).
+        from ..models.constructed import (
+            build_params, build_params_w8a8, spec_for,
+        )
         from ..train.data import _CODE_WORDS, _NAMES
 
         spec = spec_for(args.model)
         cfg = spec.model_config()
         args.tokenizer = "word"
-        params = build_params(get_tokenizer("word"), spec=spec)
+        if args.model == "constructed-8b":
+            # 23 GB f32 never exists: built host-side directly in the
+            # W8A8 int8 serving form (~8 GB device bytes)
+            assert args.w8a8, "constructed-8b is built in W8A8 form"
+            params = build_params_w8a8(get_tokenizer("word"), spec=spec)
+        else:
+            params = build_params(get_tokenizer("word"), spec=spec)
         # needle/question in the circuit's passkey grammar (train/data.py
         # format); haystack words are disjoint from the code words.
         name, code = _NAMES[7], " ".join(_CODE_WORDS[9:12])
@@ -345,8 +358,10 @@ def main():
         max_cache_size=args.max_cache,
         prefill_chunk_size=args.prefill_chunk,
     )
-    # the constructed circuit's score margins are built at f32
-    dtype = (jnp.float32 if args.model.startswith("constructed")
+    # the small constructed circuits run their score margins at f32; the
+    # 8B graft runs bf16 — the EXACT flagship serving dtype (its 64-dim
+    # codes carry enough margin for bf16+W8A8+INT4 noise, measured)
+    dtype = (jnp.float32 if args.model in ("constructed", "constructed-long")
              else jnp.bfloat16)
     if args.tp:
         from ..parallel.mesh import build_mesh, shard_params

@@ -251,10 +251,24 @@ def reorder_layer(layer: Dict, perm: np.ndarray, cfg: ModelConfig) -> Dict:
     kv_chan = expand_kv_perm(perm, D)
     q_chan = expand_kv_perm(perm, G * D)
     out = dict(layer)
-    out["wq"] = layer["wq"][:, q_chan]
-    out["wk"] = layer["wk"][:, kv_chan]
-    out["wv"] = layer["wv"][:, kv_chan]
-    out["wo"] = layer["wo"][q_chan, :]
+    if "wq_q8" in layer:
+        # already-quantized layer (W8A8 serving form): out-channel perm
+        # applies to both the int8 matrix and its per-out-channel scale;
+        # wo permutes on IN rows, so its scale is untouched (the
+        # quant-aware reorder of the reference demo,
+        # demo/w8a8kv4_llama.py:630-729, in our [in, out] layout)
+        out["wq_q8"] = layer["wq_q8"][:, q_chan]
+        out["wq_scale"] = layer["wq_scale"][q_chan]
+        out["wk_q8"] = layer["wk_q8"][:, kv_chan]
+        out["wk_scale"] = layer["wk_scale"][kv_chan]
+        out["wv_q8"] = layer["wv_q8"][:, kv_chan]
+        out["wv_scale"] = layer["wv_scale"][kv_chan]
+        out["wo_q8"] = layer["wo_q8"][q_chan, :]
+    else:
+        out["wq"] = layer["wq"][:, q_chan]
+        out["wk"] = layer["wk"][:, kv_chan]
+        out["wv"] = layer["wv"][:, kv_chan]
+        out["wo"] = layer["wo"][q_chan, :]
     if "bq" in layer:
         out["bq"] = layer["bq"][q_chan]
         out["bk"] = layer["bk"][kv_chan]

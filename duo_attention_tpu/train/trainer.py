@@ -397,13 +397,22 @@ def main():
     p.add_argument("--wandb-project", default="duo-attention-tpu")
     args = p.parse_args()
 
-    if args.model in ("constructed", "constructed-long"):
-        from ..models.constructed import build_params, spec_for
+    from ..models.constructed import SPECS as _SPECS
+    if args.model in _SPECS:
+        from ..models.constructed import (
+            build_params, build_params_w8a8, spec_for,
+        )
 
         spec = spec_for(args.model)
         mcfg = spec.model_config()
         args.tokenizer = "word"
-        params = build_params(get_tokenizer("word"), spec=spec)
+        if args.model == "constructed-8b":
+            # full 8B geometry: W8A8 int8 weights (the bf16 circuit would
+            # not fit a 16 GB chip next to two-way activations) — gate
+            # grads flow through the W8A8 STE (ops/quant.py)
+            params = build_params_w8a8(get_tokenizer("word"), spec=spec)
+        else:
+            params = build_params(get_tokenizer("word"), spec=spec)
     else:
         mcfg = PRESETS[args.model]
         params = llama.init_params(mcfg, jax.random.PRNGKey(0))

@@ -1,9 +1,17 @@
 #!/usr/bin/env bash
-# Prefill-TTFT + decode capacity curve on the real chip: duo @0.5,
-# 32-layer 8B W8A8KV4 (the flagship serving stack) at 32k..320k context.
-# Counterpart of the reference's speedup-vs-context trend
-# (README.md:196-203) + its TTFT metric (BASELINE.json). Every context is
-# a multiple of 8192 (the INT4 KV DMA block — see CLAUDE.md invariants).
+# Prefill-TTFT + decode capacity curve on the real chip, duo @0.5 PAIRED
+# with the sparsity-0 full-attention baseline at every context where full
+# fits — 32-layer 8B W8A8KV4 (the flagship serving stack) at 32k..320k.
+# Counterpart of the reference's efficiency protocol, which sweeps
+# sparsity {0, 0.5} per context and headline-claims both prefill and
+# decode reductions (scripts/run_efficiency.sh:1-21, README.md:196-206).
+# Every context is a multiple of 8192 (the INT4 KV DMA block — see
+# CLAUDE.md invariants).
+#
+# Full attention at B=1 W8A8KV4 tops out between 196k and 320k on the
+# 16 GB chip (~12.4 GB KV at 320k next to 8 GB int8 weights): the 320k
+# row is duo-only by CAPACITY, not by omission — the summary prints the
+# asymmetry explicitly.
 # Output: artifacts/efficiency_sweep/{benchmark_result.txt,sweep.jsonl}.
 set -u
 cd "$(dirname "$0")/.."
@@ -14,29 +22,51 @@ FAILED=0
 # prefill chunk shrinks with context: the chunk-sized activation temps
 # (and the streaming ring's sink+recent+chunk staging x 32 layers) share
 # the chip with the growing KV cache + 8 GB of int8 weights — same recipe
-# as the demo capacity table (README).
-for POINT in 32768:8192 65536:8192 131072:8192 196608:4096 327680:1024; do
-  CTX=${POINT%:*} CHUNK=${POINT#*:}
-  # resume-by-existence (the NIAH convention): a crashed/interrupted sweep
-  # rerun only measures the missing contexts. Anchored on the trailing
-  # comma: an unanchored "\"ctx\": $CTX" makes 32768 match 327680's line.
-  if grep -q "\"ctx\": $CTX," "$OUT/sweep.jsonl"; then
-    echo "[sweep] ctx=$CTX already recorded, skipping"
-    continue
-  fi
-  python -m duo_attention_tpu.evals.efficiency \
-    --num-layers 32 --w8a8 --kv-quant int4 --sparsity 0.5 \
-    --ctx-len "$CTX" --prefill-chunk "$CHUNK" \
-    --output "$OUT/benchmark_result.txt" \
-    --json-output "$OUT/sweep.jsonl" \
-    || { echo "[sweep] ctx=$CTX FAILED (continuing)"; FAILED=1; }
+# as the demo capacity table (README). Third field: sparsities to run at
+# this context (full attention no longer fits at 320k).
+for POINT in 32768:8192:0.5,0.0 65536:8192:0.5,0.0 131072:8192:0.5,0.0 \
+             196608:4096:0.5,0.0 327680:1024:0.5; do
+  CTX=${POINT%%:*}; REST=${POINT#*:}; CHUNK=${REST%%:*}
+  SPARSITIES=${REST#*:}
+  for SP in ${SPARSITIES//,/ }; do
+    # resume-by-existence (the NIAH convention): a crashed/interrupted
+    # rerun only measures the missing (ctx, sparsity) points. The json
+    # record writes "ctx" and "sparsity" adjacently, so one anchored
+    # grep distinguishes 32768 from 327680 AND 0.5 from 0.0.
+    if grep -q "\"ctx\": $CTX, \"sparsity\": $SP," "$OUT/sweep.jsonl"; then
+      echo "[sweep] ctx=$CTX sparsity=$SP already recorded, skipping"
+      continue
+    fi
+    python -m duo_attention_tpu.evals.efficiency \
+      --num-layers 32 --w8a8 --kv-quant int4 --sparsity "$SP" \
+      --ctx-len "$CTX" --prefill-chunk "$CHUNK" \
+      --output "$OUT/benchmark_result.txt" \
+      --json-output "$OUT/sweep.jsonl" \
+      || { echo "[sweep] ctx=$CTX sparsity=$SP FAILED (continuing)"; FAILED=1; }
+  done
 done
 python - "$OUT/sweep.jsonl" <<'EOF'
 import json, sys
 rows = [json.loads(l) for l in open(sys.argv[1])]
-for r in rows:
-    print(f"ctx={r['ctx']:>7} ttft_p50={r.get('prefill_ttft_p50_s', 0):7.2f}s "
-          f"decode={r['decode_tok_s']:6.1f} tok/s kv={r['kv_bytes']/1e9:5.2f} GB")
+by = {(r["ctx"], r["sparsity"]): r for r in rows}
+print(f"{'ctx':>7} {'duo ttft':>9} {'full ttft':>9} {'ratio':>6} "
+      f"{'duo dec':>8} {'full dec':>8} {'ratio':>6} "
+      f"{'duo kv':>7} {'full kv':>8} {'ratio':>6}")
+for ctx in sorted({r["ctx"] for r in rows}):
+    d, f = by.get((ctx, 0.5)), by.get((ctx, 0.0))
+    if d and f:
+        pr = f["prefill_ttft_p50_s"] / d["prefill_ttft_p50_s"]
+        dr = d["decode_tok_s"] / f["decode_tok_s"]
+        kr = f["kv_bytes"] / d["kv_bytes"]
+        print(f"{ctx:>7} {d['prefill_ttft_p50_s']:8.1f}s "
+              f"{f['prefill_ttft_p50_s']:8.1f}s {pr:5.2f}x "
+              f"{d['decode_tok_s']:7.1f} {f['decode_tok_s']:7.1f} {dr:5.2f}x "
+              f"{d['kv_bytes']/1e9:6.2f} {f['kv_bytes']/1e9:7.2f} {kr:5.2f}x")
+    elif d:
+        print(f"{ctx:>7} {d['prefill_ttft_p50_s']:8.1f}s {'—':>9} "
+              f"{'—':>6} {d['decode_tok_s']:7.1f} {'—':>8} {'—':>6} "
+              f"{d['kv_bytes']/1e9:6.2f} {'> chip':>8}  duo-only "
+              f"(full does not fit the 16 GB chip)")
 EOF
 # continue-on-failure per point, but surface overall failure to callers
 # (the driver would otherwise read an all-points-failed sweep as rc=0)

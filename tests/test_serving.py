@@ -203,3 +203,35 @@ def test_serving_tp_matches_isolated(setup):
     for i, p in enumerate(prompts):
         expect = isolated_tokens(params, cfg, duo, p, 6)
         assert by_rid[i].generated == expect, f"request {i} diverged"
+
+
+def test_engine_timing_trace(setup):
+    """timing=True: step() emits admit/decode events with honest token
+    counts, and TTFT is recorded per request (VERDICT r4 #3 — benches
+    consume these instead of re-implementing the scheduler loop)."""
+    params, cfg, duo = setup
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (40, 70)]
+    serve = ServingEngine(
+        params, cfg, duo, max_batch_size=2, dtype=jnp.float32,
+        attn_impl="ref", timing=True,
+    )
+    for i, p in enumerate(prompts):
+        serve.submit(Request(rid=i, prompt_ids=p, max_new_tokens=5))
+    finished = serve.run()
+    assert len(finished) == 2
+    events = list(serve.timings)
+    admits = [e for e in events if e["event"] == "admit"]
+    decodes = [e for e in events if e["event"] == "decode"]
+    # chunked admission: 40 -> 32+8, 70 -> 32+32+6 (chunk size 32)
+    assert sum(e["tokens"] for e in admits if e["rid"] == 0) == 40
+    assert sum(e["tokens"] for e in admits if e["rid"] == 1) == 70
+    assert sum(e["done"] for e in admits) == 2
+    # every generated token beyond the admission-produced first ones is
+    # attributed to exactly one decode burst
+    total = sum(len(r.generated) for r in finished)
+    assert sum(e["produced"] for e in decodes) == total - 2
+    assert all(e["dur_s"] >= 0 for e in events)
+    assert set(serve.ttft) == {0, 1}
+    assert all(v > 0 for v in serve.ttft.values())
