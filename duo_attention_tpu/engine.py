@@ -50,6 +50,7 @@ class DuoEngine:
         kv_quant: str = "none",
         mesh=None,
         decode_burst: int = 64,
+        single_bucket: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -81,6 +82,15 @@ class DuoEngine:
         # multi-minute scanned-program compile through the remote runtime.
         # 0 disables bursting (exact-length scan, the pre-burst behavior).
         self.decode_burst = max(int(decode_burst), 0)
+        # single_bucket=True pins EVERY program to bucket=max_cache_size:
+        # the Pallas kernels skip dead KV blocks past the live length
+        # (ops/flash.py @pl.when grid masking), so runtime still scales
+        # with the true context while the compile surface collapses to
+        # ONE prefill + one decode program per scan length — geometric
+        # buckets otherwise compile log2(max_cache/chunk) prefill
+        # programs, each a multi-minute remote compile for a 32-layer
+        # model (the 8B NIAH grid would pay ~100 of them).
+        self.single_bucket = single_bucket
         self._chunk_fns = {}
         self._decode_fns = {}
 
@@ -145,6 +155,8 @@ class DuoEngine:
         return cache
 
     def bucket_for(self, length: int) -> int:
+        if self.single_bucket:
+            return self.duo.max_cache_size
         return min(_next_bucket(length), self.duo.max_cache_size)
 
     def prefill(

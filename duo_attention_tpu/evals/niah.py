@@ -285,6 +285,11 @@ def main():
                    help="KV-cache quantization (int4 = the KV4 half of "
                    "the flagship W8A8KV4 stack)")
     p.add_argument("--visualize", action="store_true")
+    p.add_argument("--single-bucket", action="store_true",
+                   help="pin every program to bucket=max_cache (compile "
+                   "once per scan length; runtime still scales with live "
+                   "length via the kernels' dead-block skipping) — the "
+                   "8B-geometry grid runs with this")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel over N devices (head-sharded KV; "
                    "reference: to_device enable_tp, "
@@ -369,7 +374,8 @@ def main():
         mesh = build_mesh(args.tp, data=1)
         params = shard_params(mesh, cfg, params)
         engine = DuoEngine(params, cfg, duo, mesh=mesh, dtype=dtype,
-                           kv_quant=args.kv_quant)
+                           kv_quant=args.kv_quant,
+                           single_bucket=args.single_bucket)
     elif args.pp:
         import jax as _jax
 
@@ -386,12 +392,17 @@ def main():
         )
     else:
         engine = DuoEngine(params, cfg, duo, dtype=dtype,
-                           kv_quant=args.kv_quant)
+                           kv_quant=args.kv_quant,
+                           single_bucket=args.single_bucket)
     tokenizer = get_tokenizer(args.tokenizer)
     kw = {}
     if needle is not None:
+        # power-of-two budget: the engine's burst decomposition then
+        # needs ONE scanned program (7 would compile 4+2+1 tails — each
+        # a slow remote compile at 32 layers)
+        gen = 1 << (len(answer.split()) + 2).bit_length()
         kw = {"needle": needle, "question": question, "answer": answer,
-              "gen_tokens": len(answer.split()) + 4}
+              "gen_tokens": gen}
     config = NIAHConfig(
         context_lengths=args.ctx,
         depth_percents=list(np.linspace(0, 100, args.depths)),

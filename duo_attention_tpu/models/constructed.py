@@ -588,8 +588,8 @@ def build_params_w8a8(tokenizer, spec: CircuitSpec = LONG_8B_SPEC,
     assert spec.hidden_size >= E, "circuit needs the first 256 hidden dims"
     sig = Signatures(tokenizer, num_digits=spec.num_digits)
     qkeys = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
-    layers = []
-    for li, l in _layers_np(sig, spec):
+
+    def quantize_np_layer(l):
         out = {}
         for k, v in l.items():
             if k in qkeys:
@@ -601,7 +601,40 @@ def build_params_w8a8(tokenizer, spec: CircuitSpec = LONG_8B_SPEC,
                 # (init_params_w8a8 format; cache/activation dtype)
                 out[k] = jnp.asarray(np.asarray(v, np.float32),
                                      dtype=jnp.bfloat16)
-        layers.append(jax.block_until_ready(out))
+        return jax.block_until_ready(out)
+
+    # Pass-through layers are materialized ON DEVICE (one jitted zero
+    # fill per layer): building them in numpy and shipping ~8 GB of int8
+    # zeros through the remote-device transport costs minutes per model
+    # build, while a device-side fill is instant. Buffers are still
+    # DISTINCT per layer (no deduplication), so HBM footprint and
+    # per-layer weight reads equal a real checkpoint's.
+    zshapes = {k: (v.shape, v.dtype) for k, v in _zeros_layer_np(spec).items()}
+
+    @jax.jit
+    def device_zero_layer():
+        out = {}
+        for k, (shape, _) in zshapes.items():
+            if k in qkeys:
+                out[k + "_q8"] = jnp.zeros(shape, jnp.int8)
+                out[k + "_scale"] = jnp.full(
+                    (shape[-1],), 1e-12, jnp.float32
+                )
+            elif k in ("input_norm", "post_norm"):
+                out[k] = jnp.full(shape, spec.norm_scale, jnp.bfloat16)
+            else:
+                out[k] = jnp.zeros(shape, jnp.bfloat16)
+        return out
+
+    l0, l1 = (quantize_np_layer(l)
+              for l in _build_circuit_layers_np(sig, spec))
+    placed = {spec.circuit_layers[0]: l0, spec.circuit_layers[1]: l1}
+    layers = []
+    for li in range(spec.num_layers):
+        layer = placed.get(li)
+        if layer is None:
+            layer = jax.block_until_ready(device_zero_layer())
+        layers.append(layer)
     params = {
         "layers": tuple(layers),
         "final_norm": jnp.full(spec.hidden_size, spec.norm_scale,

@@ -38,7 +38,8 @@ run_grid() {  # run_grid "<ctx list>" <max_cache> [extra args...]
     --sparsity 0.0 --output-dir "$OUT/full"
 }
 
-# 13 points <=1M (6 committed + 7 new), old max-cache -> warm programs.
+# 11 points <=1M (6 committed + 5 new; 13 total with the phase-2 ultra
+# rows), old max-cache -> warm programs.
 run_grid "16384 32768 65536 98304 131072 196608 262144 393216 524288 \
 786432 1048576" 1056768
 

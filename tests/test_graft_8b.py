@@ -160,3 +160,27 @@ def test_gate_training_discovers_graft_heads(bits):
     g = np.asarray(trainer.gates)
     gt = ground_truth_heads(SPEC)
     assert ((g > 0.5) == (gt > 0.5)).all(), g
+
+
+def test_single_bucket_engine_matches_bucketed():
+    """single_bucket=True (one program per scan length, used by the
+    8B-geometry grid) generates exactly the same tokens as the
+    geometric-bucket engine."""
+    import jax
+
+    from duo_attention_tpu.config import TINY_GQA
+
+    params = __import__(
+        "duo_attention_tpu.models.llama", fromlist=["llama"]
+    ).init_params(TINY_GQA, jax.random.PRNGKey(0), jnp.float32)
+    duo = DuoConfig(sink_size=8, recent_size=16, num_full_kv_heads=(2, 1, 3),
+                    max_cache_size=512, prefill_chunk_size=32)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 512, (1, 150)).astype(np.int32)
+    e1 = DuoEngine(params, TINY_GQA, duo, dtype=jnp.float32, attn_impl="ref")
+    e2 = DuoEngine(params, TINY_GQA, duo, dtype=jnp.float32, attn_impl="ref",
+                   single_bucket=True)
+    t1, c1 = e1.generate(prompt, 8)
+    t2, c2 = e2.generate(prompt, 8)
+    assert np.array_equal(np.asarray(t1), np.asarray(t2))
+    assert int(c1.length) == int(c2.length) == 158
