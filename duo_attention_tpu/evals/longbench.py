@@ -289,6 +289,10 @@ def main():
     p.add_argument("--w8a8", action="store_true",
                    help="INT8 weight/activation linears (the flagship "
                    "serving compute precision)")
+    p.add_argument("--single-bucket", action="store_true",
+                   help="pin every program to bucket=max_cache (one "
+                   "compile per scan length; the 8B artifact runs use "
+                   "this — see evals/niah.py)")
     p.add_argument("--kv-quant", choices=["none", "int4"], default="none",
                    help="INT4 KV cache (W8A8KV4 with --w8a8)")
     args = p.parse_args()
@@ -341,18 +345,20 @@ def main():
             max_cache_size=args.max_cache,
             prefill_chunk_size=args.prefill_chunk,
         )
-        # the small constructed circuits run their score margins at f32;
-        # the 8B graft runs bf16 — the exact flagship serving dtype
-        dtype = (jnp.float32
-                 if args.model in ("constructed", "constructed-long")
-                 else jnp.bfloat16)
+        # constructed circuits run f32 EXCEPT the 8B graft, which is
+        # built in bf16/W8A8 — the exact flagship serving dtype
+        dtype = (jnp.bfloat16
+                 if args.model not in _SPECS
+                 or args.model == "constructed-8b"
+                 else jnp.float32)
         if args.tp:
             from ..parallel.mesh import build_mesh, shard_params
 
             mesh = build_mesh(args.tp, data=1)
             params = shard_params(mesh, cfg, params)
             engine = DuoEngine(params, cfg, duo, mesh=mesh, dtype=dtype,
-                               kv_quant=args.kv_quant)
+                               kv_quant=args.kv_quant,
+                               single_bucket=args.single_bucket)
         elif args.pp:
             import jax as _jax
 
@@ -371,7 +377,8 @@ def main():
             )
         else:
             engine = DuoEngine(params, cfg, duo, dtype=dtype,
-                               kv_quant=args.kv_quant)
+                               kv_quant=args.kv_quant,
+                               single_bucket=args.single_bucket)
         tokenizer = get_tokenizer(args.tokenizer)
         stop_ids = ()
         if args.stop_text:

@@ -363,11 +363,12 @@ def main():
         max_cache_size=args.max_cache,
         prefill_chunk_size=args.prefill_chunk,
     )
-    # the small constructed circuits run their score margins at f32; the
-    # 8B graft runs bf16 — the EXACT flagship serving dtype (its 64-dim
-    # codes carry enough margin for bf16+W8A8+INT4 noise, measured)
-    dtype = (jnp.float32 if args.model in ("constructed", "constructed-long")
-             else jnp.bfloat16)
+    # constructed circuits run their score margins at f32 EXCEPT the 8B
+    # graft, which is built in bf16/W8A8 — the exact flagship serving
+    # dtype (its 64-dim codes carry the margin for bf16+W8A8+INT4 noise)
+    dtype = (jnp.bfloat16
+             if args.model not in _SPECS or args.model == "constructed-8b"
+             else jnp.float32)
     if args.tp:
         from ..parallel.mesh import build_mesh, shard_params
 

@@ -37,109 +37,15 @@ OUT=${1:-artifacts/longbench_tpu}
 PATTERN=${2:-artifacts/niah_8b/pattern}
 DATA="$OUT/data"
 mkdir -p "$DATA"
-python - "$DATA" <<'EOF'
-import json, sys
-import numpy as np
-from duo_attention_tpu.evals.niah import procedural_haystack
-from duo_attention_tpu.train.data import _CODE_WORDS, _NAMES
-
-rng = np.random.default_rng(7)
-
-
-def records(n_samples, n_keys, key_len, seed0, mode="easy", framing=None):
-    """LongBench-format records in the passkey grammar.
-
-    mode "easy": distinct names, disjoint codes.
-    mode "dup_name": the queried name appears TWICE with different codes
-      sharing their first word (gold = the first occurrence) — ambiguous
-      for any retrieval mechanism.
-    mode "overlap": code words drawn from a small shared pool, so
-      continuation chains cross keys (partial-credit degradation).
-    mode "digit": the code IS the paragraph number; gold "Paragraph N".
-    """
-    framing = framing or (
-        lambda n, c, filler: f"{filler}. Remember this: the secret code "
-                             f"of {n} is {c}. ")
-    recs = []
-    for i in range(n_samples):
-        names = list(rng.choice(_NAMES, size=n_keys, replace=False))
-        if mode == "overlap":
-            pool = rng.choice(_CODE_WORDS, size=6, replace=False)
-            codes = [" ".join(rng.choice(pool, size=key_len))
-                     for _ in range(n_keys)]
-        elif mode == "digit":
-            codes = [str(j + 1) for j in range(n_keys)]
-        else:
-            flat = rng.choice(_CODE_WORDS, size=n_keys * key_len,
-                              replace=False)
-            codes = [" ".join(flat[j * key_len:(j + 1) * key_len])
-                     for j in range(n_keys)]
-        qi = int(rng.integers(0, n_keys))
-        if mode == "dup_name":
-            # re-insert the queried name with a second code sharing the
-            # first word; GOLD stays the first occurrence's code
-            w = codes[qi].split()
-            alt_pool = [c for c in _CODE_WORDS if c not in codes[qi]]
-            alt = " ".join([w[0]] + list(
-                rng.choice(alt_pool, size=key_len - 1, replace=False)))
-            names.append(names[qi])
-            codes.append(alt)
-        hay = procedural_haystack(16000, seed=seed0 + i).split(". ")
-        parts = []
-        for j, (n, c) in enumerate(zip(names, codes)):
-            if mode == "digit":
-                parts.append(
-                    f". ".join(hay[j * 18:(j + 1) * 18]) +
-                    f". Paragraph {j + 1} holds one entry . Remember "
-                    f"this: the secret code of {n} is {c} . ")
-            else:
-                parts.append(framing(n, c, ". ".join(hay[j * 18:(j + 1) * 18])))
-        # >256 words of tail so no passkey lands inside the recent window
-        k = len(names)
-        parts.append(". ".join(hay[k * 18:k * 18 + 40]))
-        answers = ([f"Paragraph {qi + 1}"] if mode == "digit"
-                   else [codes[qi]])
-        recs.append({
-            "context": "".join(parts),
-            "input": f"Question: the secret code of {names[qi]} is",
-            "answers": answers,
-            "all_classes": list(_CODE_WORDS) if key_len == 1 else [],
-            "length": sum(len(p.split()) for p in parts),
-        })
-    return recs
-
-
-def dialogue_frame(n, c, filler):
-    return (f"{filler}. Dialogue of {n} . "
-            f"Remember this: the secret code of {n} is {c}. ")
-
-
-tasks = {
-    # classification family — single-word codes (ceiling contrast rows)
-    "trec": records(8, 3, 1, 700),
-    "lsht": records(8, 3, 1, 900),
-    # QA-F1 family — graded: 8 easy + 16 duplicate-name ambiguous
-    "triviaqa": records(8, 3, 3, 300) + records(16, 3, 3, 1300,
-                                                mode="dup_name"),
-    # ROUGE family — graded: 8 easy + 16 overlapping-code records
-    "samsum": (records(8, 3, 3, 500, framing=dialogue_frame)
-               + records(16, 3, 3, 1500, mode="overlap")),
-    # retrieval_score family — digit answers ("Paragraph N")
-    "passage_retrieval_style": records(8, 6, 1, 1700, mode="digit"),
-    # code_sim family — fuzzy line similarity on the code words
-    "codecomp_style": records(8, 3, 3, 1900),
-}
-for task, recs in tasks.items():
-    with open(f"{sys.argv[1]}/{task}.jsonl", "w") as f:
-        for r in recs:
-            f.write(json.dumps(r) + "\n")
-print("wrote", sys.argv[1], {t: len(r) for t, r in tasks.items()})
-EOF
+# generator lives in the package (evals/longbench_data.py) so CPU tests
+# exercise the exact records the artifact runs on
+python -m duo_attention_tpu.evals.longbench_data "$DATA"
 TASKS="trec lsht triviaqa samsum passage_retrieval_style codecomp_style"
 RUN="python -m duo_attention_tpu.evals.longbench
      --model constructed-8b --w8a8 --kv-quant int4 --stop-text .
      --data-dir $DATA --max-prompt-len 8000 --max-cache 16384
-     --prefill-chunk 2048 --simulation-tokens 16 --max-samples 24"
+     --prefill-chunk 2048 --simulation-tokens 16 --max-samples 24
+     --single-bucket"
 $RUN --tasks $TASKS --sparsity 0.0 --out-dir "$OUT/full"
 $RUN --tasks $TASKS --attn-pattern "$PATTERN" \
      --sparsity 0.5 --out-dir "$OUT/trained"
