@@ -39,25 +39,45 @@ if [ ! -f "$PATTERN/full_attention_heads.tsv" ]; then
     2>&1 | tee artifacts/niah_8b/train_log.txt
 fi
 
-# ONE engine config for every context: max_cache 327680 + chunk 1024 —
-# the capacity sweep's own 320k-frontier row — with --single-bucket so
-# the whole grid compiles exactly one prefill and one decode program
-# per head-split config (geometric buckets would compile ~9 prefill
-# programs per config, each a multi-minute remote compile at 32
-# layers). Runtime still scales with the live context: the Pallas
-# kernels skip dead KV blocks past the cache length.
-run_cfg() {  # run_cfg <outsub> <extra args...>
-  local sub="$1"; shift
+# ONE engine config per head split: max_cache = the largest context the
+# split FITS, chunk 1024, --single-bucket, so the whole grid compiles
+# exactly one prefill and one decode program per config (geometric
+# buckets would compile ~9 prefill programs per config, each a
+# multi-minute remote compile at 32 layers). Runtime still scales with
+# the live context: the Pallas kernels skip dead KV blocks past the
+# cache length.
+#
+# Duo rows run all four contexts under the 320k cache (the capacity
+# sweep's frontier row). Full attention's int4 KV costs 32 KB/token
+# (8 kv x 128 dim x (k+v) x 0.5 B x 32 layers): a 320k full cache is
+# 10.7 GB next to 8.2 GB of int8 weights — measured compile OOM at
+# 19.26/15.75 GB HBM — so the full rows stop at the contexts that fit
+# (<=131k under one 131k cache; 196k probed under its own cache,
+# ~15.6 GB — marginal by design). THAT ASYMMETRY IS THE CLAIM: duo
+# serves 320k on this chip, full attention cannot (capacity rows:
+# artifacts/efficiency_sweep).
+run_cfg() {  # run_cfg <outsub> <max_cache> <ctx list...> -- <extra args>
+  local sub="$1" cache="$2"; shift 2
+  local ctxs=()
+  while [ "$1" != "--" ]; do ctxs+=("$1"); shift; done; shift
   python -m duo_attention_tpu.evals.niah \
     --model constructed-8b --w8a8 --kv-quant int4 --single-bucket \
-    --prefill-chunk 1024 --max-cache 327680 \
-    --ctx 65536 131072 196608 327680 --depths 5 \
+    --prefill-chunk 1024 --max-cache "$cache" \
+    --ctx "${ctxs[@]}" --depths 5 \
     --output-dir "$OUT/$sub" "$@"
 }
 
-run_cfg trained  --attn-pattern "$PATTERN" --sparsity 0.5
-run_cfg inverted --attn-pattern "$PATTERN" --sparsity 0.5 --invert
-run_cfg full     --sparsity 0.0
+run_cfg trained  327680 65536 131072 196608 327680 -- \
+        --attn-pattern "$PATTERN" --sparsity 0.5
+run_cfg inverted 327680 65536 131072 196608 327680 -- \
+        --attn-pattern "$PATTERN" --sparsity 0.5 --invert
+run_cfg full     131072 65536 131072 -- --sparsity 0.0
+run_cfg full     196608 196608      -- --sparsity 0.0 \
+  || echo "[8b-niah] full@196k does not fit (capacity asymmetry recorded)"
+mkdir -p "$OUT/full"
+echo "[8b-niah] full@327680: impossible on the 16 GB chip (10.7 GB int4" \
+     "KV + 8.2 GB weights; compile OOM 19.26/15.75 GB) — duo-only by" \
+     "capacity" | tee "$OUT/full/capacity_note.txt"
 
 for cfg_dir in trained inverted full; do
   python -c "from duo_attention_tpu.evals.niah import visualize; \
