@@ -23,9 +23,16 @@ FAILED=0
 # (and the streaming ring's sink+recent+chunk staging x 32 layers) share
 # the chip with the growing KV cache + 8 GB of int8 weights — same recipe
 # as the demo capacity table (README). Third field: sparsities to run at
-# this context (full attention no longer fits at 320k).
-for POINT in 32768:8192:0.5,0.0 65536:8192:0.5,0.0 131072:8192:0.5,0.0 \
-             196608:4096:0.5,0.0 327680:1024:0.5; do
+# this (ctx, chunk). Full attention's DOUBLE KV squeezes the chunk
+# budget harder than duo's: at 131k+ the full rows run at their largest
+# FITTING chunk (131k: 4096 where duo holds 8192 — measured compile OOM
+# 16.44/15.75 GB at 8192; 196k: 1024 where duo holds 4096), and at 320k
+# full does not fit at any chunk (12.4 GB KV + 8.2 GB weights). The
+# shrinking chunk and the missing frontier row ARE the capacity
+# asymmetry; each jsonl row records its own chunk.
+for POINT in 32768:8192:0.5,0.0 65536:8192:0.5,0.0 131072:8192:0.5 \
+             131072:4096:0.0 196608:4096:0.5 196608:1024:0.0 \
+             327680:1024:0.5; do
   CTX=${POINT%%:*}; REST=${POINT#*:}; CHUNK=${REST%%:*}
   SPARSITIES=${REST#*:}
   for SP in ${SPARSITIES//,/ }; do
@@ -58,10 +65,14 @@ for ctx in sorted({r["ctx"] for r in rows}):
         pr = f["prefill_ttft_p50_s"] / d["prefill_ttft_p50_s"]
         dr = d["decode_tok_s"] / f["decode_tok_s"]
         kr = f["kv_bytes"] / d["kv_bytes"]
+        chunks = ("" if d["chunk"] == f["chunk"] else
+                  f"  [chunk duo {d['chunk']} / full {f['chunk']} — "
+                  "full's largest fitting]")
         print(f"{ctx:>7} {d['prefill_ttft_p50_s']:8.1f}s "
               f"{f['prefill_ttft_p50_s']:8.1f}s {pr:5.2f}x "
               f"{d['decode_tok_s']:7.1f} {f['decode_tok_s']:7.1f} {dr:5.2f}x "
-              f"{d['kv_bytes']/1e9:6.2f} {f['kv_bytes']/1e9:7.2f} {kr:5.2f}x")
+              f"{d['kv_bytes']/1e9:6.2f} {f['kv_bytes']/1e9:7.2f} {kr:5.2f}x"
+              f"{chunks}")
     elif d:
         print(f"{ctx:>7} {d['prefill_ttft_p50_s']:8.1f}s {'—':>9} "
               f"{'—':>6} {d['decode_tok_s']:7.1f} {'—':>8} {'—':>6} "
