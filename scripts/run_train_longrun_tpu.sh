@@ -32,7 +32,7 @@ if [ ! -f "$OUT/log_phase1.txt" ]; then
   timeout -s KILL "$KILL_AFTER_S" \
     python -m duo_attention_tpu.train.trainer "${COMMON[@]}" \
     2>&1 | tee "$OUT/log_phase1.txt"
-  echo "[longrun] phase 1 ended (rc=$? — 137 means the intended kill)"
+  echo "[longrun] phase 1 ended (rc=${PIPESTATUS[0]} — 137 means the intended kill)"
 fi
 
 echo "[longrun] phase 2: --resume to step 2000"
