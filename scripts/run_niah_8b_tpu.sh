@@ -63,7 +63,7 @@ run_cfg() {  # run_cfg <outsub> <max_cache> <ctx list...> -- <extra args>
   python -m duo_attention_tpu.evals.niah \
     --model constructed-8b --w8a8 --kv-quant int4 --single-bucket \
     --prefill-chunk 1024 --max-cache "$cache" \
-    --ctx "${ctxs[@]}" --depths 5 \
+    --ctx "${ctxs[@]}" --depths 9 \
     --output-dir "$OUT/$sub" "$@"
 }
 
