@@ -67,11 +67,11 @@ run_cfg() {  # run_cfg <outsub> <max_cache> <ctx list...> -- <extra args>
     --output-dir "$OUT/$sub" "$@"
 }
 
-run_cfg trained  327680 65536 131072 196608 327680 -- \
+run_cfg trained  327680 32768 65536 131072 196608 327680 -- \
         --attn-pattern "$PATTERN" --sparsity 0.5
-run_cfg inverted 327680 65536 131072 196608 327680 -- \
+run_cfg inverted 327680 32768 65536 131072 196608 327680 -- \
         --attn-pattern "$PATTERN" --sparsity 0.5 --invert
-run_cfg full     131072 65536 131072 -- --sparsity 0.0
+run_cfg full     131072 32768 65536 131072 -- --sparsity 0.0
 run_cfg full     196608 196608      -- --sparsity 0.0 \
   || echo "[8b-niah] full@196k does not fit (capacity asymmetry recorded)"
 mkdir -p "$OUT/full"
