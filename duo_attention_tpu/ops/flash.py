@@ -81,11 +81,18 @@ class _OnlineSoftmax:
         fully-visible block (skips the mask selects — the dominant interior
         case during long-context prefill)."""
         rows, D = q.shape
+        # bf16 operands pin Precision.DEFAULT (lossless: inputs already
+        # bf16, f32 accumulator) — ambient "highest" would stamp fp32
+        # contract precision onto a bf16 lhs, which Mosaic rejects; f32
+        # operands keep the ambient choice (see update_q4).
+        prec = (jax.lax.Precision.DEFAULT
+                if q.dtype == jnp.bfloat16 else None)
         # fold the softmax scale into q ([rows, D]) instead of scaling the
         # [rows, bk] score tile — one fewer full-tile VPU pass per block
         s = jax.lax.dot_general(
             (q * jnp.asarray(self.scale, q.dtype)), k,
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
         )
         if mask is not None:
             s = jnp.where(mask, s, NEG_INF)
@@ -105,7 +112,9 @@ class _OnlineSoftmax:
         self.m[...] = m_next
         self.l[...] = l_next
         self.acc[...] = self.acc[...] * alpha[:, :D] + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.DEFAULT
+                       if v.dtype == jnp.bfloat16 else None),
         )
 
     def update_q4(self, q, kp, ks, vp, vs, mask=None):
@@ -197,13 +206,24 @@ class _OnlineSoftmax:
                 ((p32 >> 4) & 0xF).astype(q.dtype),
             )
 
+        # bf16 operands take Precision.DEFAULT explicitly: the inputs are
+        # already bf16 (and the nibble planes are exact 4-bit values), so
+        # DEFAULT loses nothing over the f32 accumulator — while an
+        # ambient jax_default_matmul_precision of "highest" (set e.g. by
+        # tests/conftest.py for CPU numerics) would stamp fp32 contract
+        # precision onto a bf16 lhs, which Mosaic rejects ("Bad lhs
+        # type"). f32 operands keep the ambient choice.
+        bf16_prec = (jax.lax.Precision.DEFAULT
+                     if q.dtype == jnp.bfloat16 else None)
         if prefill_mode:
             ke, ko = unpack_bf16(kp)
             s_e = jax.lax.dot_general(
-                q, ke, dims, preferred_element_type=jnp.float32
+                q, ke, dims, preferred_element_type=jnp.float32,
+                precision=bf16_prec,
             ) * scale_row(ks, 0) + q_rowsum * scale_row(ks, 2)
             s_o = jax.lax.dot_general(
-                q, ko, dims, preferred_element_type=jnp.float32
+                q, ko, dims, preferred_element_type=jnp.float32,
+                precision=bf16_prec,
             ) * scale_row(ks, 1) + q_rowsum * scale_row(ks, 3)
         else:
             ke8, ko8 = nibble_planes(kp)  # each [bk//2, D] int8
@@ -257,9 +277,11 @@ class _OnlineSoftmax:
         if prefill_mode:
             ve, vo = unpack_bf16(vp)
             contrib = jax.lax.dot(
-                ps_e.astype(q.dtype), ve, preferred_element_type=jnp.float32
+                ps_e.astype(q.dtype), ve, preferred_element_type=jnp.float32,
+                precision=bf16_prec,
             ) + jax.lax.dot(
-                ps_o.astype(q.dtype), vo, preferred_element_type=jnp.float32
+                ps_o.astype(q.dtype), vo, preferred_element_type=jnp.float32,
+                precision=bf16_prec,
             )
         else:
             ve8, vo8 = nibble_planes(vp)
