@@ -113,29 +113,53 @@ def main():
     )[None]
     print(f"[demo] prompt: {prompt.shape[1]} tokens (needle at 50% depth)")
 
-    # chunked prefill with live stats (reference: run_duo_w8a8kv4.py:172-206)
+    # chunked prefill with live stats (reference: run_duo_w8a8kv4.py:172-206).
+    # The chunk-sized activation temps (and per-layer staging) share HBM
+    # with the growing KV cache and the resident int8 weights, so the
+    # largest-chunk program can fail to COMPILE at long contexts even
+    # when a smaller chunk serves the same cache fine; on a compile OOM
+    # the demo halves the chunk, rebuilds the engine, and restarts —
+    # trading TTFT for fit instead of dying (chunk is the demo knob the
+    # capacity table sweeps for exactly this reason).
     C = duo.prefill_chunk_size
-    cache = engine.new_cache()
-    t_start = time.perf_counter()
-    logits = None
-    done = 0
-    for off in range(0, prompt.shape[1], C):
-        chunk = prompt[:, off : off + C]
-        n_valid = chunk.shape[1]
-        if n_valid < C:
-            chunk = np.pad(chunk, ((0, 0), (0, C - n_valid)))
-        step = engine._chunk_step_fn(engine.bucket_for(done + C))
-        t0 = time.perf_counter()
-        cache, logits = step(
-            engine.params, cache, jnp.asarray(chunk),
-            jnp.asarray(n_valid, jnp.int32),
-        )
-        fence(logits)
-        done += n_valid
-        dt = time.perf_counter() - t0
-        kv_gb = kv_memory_bytes(cache) / 1e9
-        print(f"[prefill] {done}/{prompt.shape[1]} tokens | "
-              f"chunk {dt:.2f}s ({n_valid/dt:.0f} tok/s) | KV alloc {kv_gb:.2f} GB")
+    while True:
+        cache = engine.new_cache()
+        t_start = time.perf_counter()
+        logits = None
+        done = 0
+        try:
+            for off in range(0, prompt.shape[1], C):
+                chunk = prompt[:, off : off + C]
+                n_valid = chunk.shape[1]
+                if n_valid < C:
+                    chunk = np.pad(chunk, ((0, 0), (0, C - n_valid)))
+                step = engine._chunk_step_fn(engine.bucket_for(done + C))
+                t0 = time.perf_counter()
+                cache, logits = step(
+                    engine.params, cache, jnp.asarray(chunk),
+                    jnp.asarray(n_valid, jnp.int32),
+                )
+                fence(logits)
+                done += n_valid
+                dt = time.perf_counter() - t0
+                kv_gb = kv_memory_bytes(cache) / 1e9
+                print(f"[prefill] {done}/{prompt.shape[1]} tokens | "
+                      f"chunk {dt:.2f}s ({n_valid/dt:.0f} tok/s) | "
+                      f"KV alloc {kv_gb:.2f} GB")
+            break
+        except jax.errors.JaxRuntimeError as e:
+            oom = ("Ran out of memory" in str(e)
+                   or "RESOURCE_EXHAUSTED" in str(e))
+            if not oom or C <= 1024:
+                raise
+            C //= 2
+            print(f"[demo] prefill program OOMed on this chip — retrying "
+                  f"with chunk {C}")
+            duo = dataclasses.replace(duo, prefill_chunk_size=C)
+            engine = DuoEngine(
+                params, cfg, duo,
+                kv_quant=("none" if args.no_int4_kv else "int4"),
+            )
     print(f"[prefill] total {time.perf_counter()-t_start:.1f}s")
 
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
